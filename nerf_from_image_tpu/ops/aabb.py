@@ -1,0 +1,69 @@
+"""Ray/axis-aligned-bounding-box intersection for near/far plane computation.
+
+TPU-native re-design of the reference slab test (reference:
+lib/nerf_utils.py:227-275): fully vectorized, no boolean fancy-indexing —
+miss rays are filled with masked min/max reductions so the whole computation
+is one fused XLA program with static shapes. Gradients are stopped (the
+reference runs this under no_grad).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_near_far_planes(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    scene_range: float,
+    min_plane: float = 0.1,
+    eps: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Intersects rays with the cube [-scene_range, scene_range]^3.
+
+    Args:
+      ray_origins: [..., 3]
+      ray_directions: [..., 3]
+      scene_range: half-extent of the axis-aligned scene cube.
+      min_plane: clamp for near/far (avoids rays starting inside/behind).
+      eps: minimum separation enforced between near and far.
+
+    Returns:
+      (near, far) with shape [...]. Rays that miss the box are assigned the
+      min near / max far over the hitting rays (keeps the sample distribution
+      dense where geometry lives, exactly like the reference semantics).
+    """
+    o = jax.lax.stop_gradient(ray_origins)
+    d = jax.lax.stop_gradient(ray_directions)
+
+    invdir = 1.0 / d
+    # Per-axis slab entry/exit: sign-select the box face.
+    lo = jnp.where(invdir < 0, scene_range, -scene_range)
+    hi = jnp.where(invdir < 0, -scene_range, scene_range)
+    tmin = (lo - o) * invdir  # [..., 3]
+    tmax = (hi - o) * invdir
+
+    xmin, ymin, zmin = tmin[..., 0], tmin[..., 1], tmin[..., 2]
+    xmax, ymax, zmax = tmax[..., 0], tmax[..., 1], tmax[..., 2]
+
+    hit = jnp.logical_not((xmin > ymax) | (ymin > xmax))
+    near = jnp.maximum(xmin, ymin)
+    far = jnp.minimum(xmax, ymax)
+    hit = hit & jnp.logical_not((near > zmax) | (zmin > far))
+    near = jnp.maximum(near, zmin)
+    far = jnp.minimum(far, zmax)
+
+    # Fill miss rays with the min/max over hit rays (masked global reduction).
+    big = jnp.asarray(jnp.finfo(near.dtype).max, near.dtype)
+    near_hit_min = jnp.min(jnp.where(hit, near, big))
+    far_hit_max = jnp.max(jnp.where(hit, far, -big))
+    near = jnp.where(hit, near, near_hit_min)
+    far = jnp.where(hit, far, far_hit_max)
+
+    near = jnp.maximum(near, min_plane)
+    far = jnp.maximum(far, min_plane)
+    far = jnp.where(far - near < eps, near + eps, far)
+    return near, far

@@ -1,0 +1,125 @@
+"""Separable resampling filters (StyleGAN2-style) and progressive blur.
+
+TPU-native equivalents of the reference's resampling ops (reference:
+models/stylegan.py:22-111 EfficientResample/filter2d/upsample2d/downsample2d,
+lib/ops.py:29-55 filt2d/blur). Everything is expressed as depthwise
+`lax.conv_general_dilated` in NHWC layout: XLA maps these onto the MXU/VPU
+directly and fuses the surrounding elementwise math, so no custom autograd
+is needed (the reference's EfficientResample exists only because torch's
+double-backward of conv was slow — in JAX transposed convs ARE the VJP).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bilinear_filter(dtype=jnp.float32) -> jnp.ndarray:
+    """The normalized separable [1, 3, 3, 1] resampling filter."""
+    h = np.array([1.0, 3.0, 3.0, 1.0])
+    h = h[:, None] * h[None, :]
+    h /= h.sum()
+    return jnp.asarray(h, dtype)
+
+
+def depthwise_conv2d(
+    x: jnp.ndarray,
+    kernel2d: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 0,
+    transpose: bool = False,
+) -> jnp.ndarray:
+    """Applies the same 2D kernel to every channel of an NHWC tensor.
+
+    `transpose=True` gives torch's conv_transpose2d semantics (stride becomes
+    input dilation, padding is subtracted from the implicit full padding, and
+    the kernel is spatially flipped).
+    """
+    C = x.shape[-1]
+    kh, kw = kernel2d.shape
+    if transpose:
+        kernel2d = kernel2d[::-1, ::-1]
+    # HWIO with feature_group_count=C: one input channel per group.
+    kernel = jnp.broadcast_to(
+        kernel2d.astype(x.dtype)[:, :, None, None], (kh, kw, 1, C)
+    )
+    if transpose:
+        pad_h = (kh - 1 - padding, kh - 1 - padding)
+        pad_w = (kw - 1 - padding, kw - 1 - padding)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=(pad_h, pad_w),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+
+
+def filter2d(
+    x: jnp.ndarray, kernel2d: jnp.ndarray, gain: float = 1.0, transpose: bool = False
+) -> jnp.ndarray:
+    """4-tap low-pass filtering with padding 1 (shrinks/grows H, W by 1)."""
+    if gain != 1.0:
+        kernel2d = kernel2d * gain
+    return depthwise_conv2d(x, kernel2d, stride=1, padding=1, transpose=transpose)
+
+
+def upsample2d(x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
+    """2x upsampling: strided transposed depthwise conv with 4x gain."""
+    return depthwise_conv2d(x, kernel2d * 4.0, stride=2, padding=1, transpose=True)
+
+
+def downsample2d(x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
+    """2x downsampling: strided depthwise conv."""
+    return depthwise_conv2d(x, kernel2d, stride=2, padding=1, transpose=False)
+
+
+def filt2d_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Same-size depthwise filtering with a 1D (separable) or 2D kernel."""
+    if kernel.ndim == 1:
+        kernel = kernel[None, :] * kernel[:, None]
+    pad = kernel.shape[-1] // 2
+    return depthwise_conv2d(x, kernel, stride=1, padding=pad)
+
+
+def blur_schedule_sigma(iteration, blur_warmup_iters: int):
+    """Progressive blur sigma: 10 -> 0 linearly over the warmup."""
+    return jnp.maximum(1.0 - iteration / blur_warmup_iters, 0.0) * 10.0
+
+
+def blur(
+    x: jnp.ndarray,
+    sigma: float,
+    white_background: bool,
+) -> jnp.ndarray:
+    """Discriminator-input blur used during GAN warmup.
+
+    Static-kernel variant: `sigma` must be a Python float (the blur size
+    determines the kernel shape, so under jit callers pass it as a static
+    argument, re-jitting only when floor(3*sigma) changes — a handful of
+    distinct programs over the whole warmup).
+    """
+    blur_size = int(np.floor(sigma * 3))
+    if blur_size <= 0:
+        return x
+    f = np.arange(-blur_size, blur_size + 1, dtype=np.float64)
+    f = np.exp2(-((f / sigma) ** 2))
+    f = jnp.asarray(f / f.sum(), x.dtype)
+    if white_background:
+        x = x - 1.0
+    x = filt2d_same(x, f)
+    if white_background:
+        x = x + 1.0
+    return x

@@ -1,0 +1,71 @@
+"""Differentiable bilinear 2D grid sampling (border padding, align_corners).
+
+Equivalent semantics to the reference's double-backward-capable sampler
+(reference: lib/ops.py:58-120) and torch.nn.functional.grid_sample(
+mode='bilinear', padding_mode='border', align_corners=True). In JAX the op
+is built from gathers + elementwise math, so arbitrary-order differentiation
+(needed by the eikonal loss, reference models/generator.py:516-537) falls out
+of autodiff for free — no custom autograd Function needed.
+
+Layout note (TPU-first): features are channel-minor ([B, H, W, C] tables,
+[B, N, C] outputs) so the 4 corner gathers are contiguous C-wide row reads
+and the interpolation is a lane-parallel FMA. The reference's NCHW layout
+would put the gather stride on the minor axis — hostile to both XLA gather
+and the Pallas kernel that replaces this op on the hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_2d(table: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinearly samples a feature table at continuous 2D locations.
+
+    Args:
+      table: [B, H, W, C] feature plane.
+      coords: [B, N, 2] normalized sample locations in [-1, 1]; coords[..., 0]
+        indexes W (x), coords[..., 1] indexes H (y). align_corners=True
+        convention: -1 maps to pixel 0, +1 to pixel H-1/W-1. Out-of-range
+        coordinates clamp to the border, but the interpolation weights are
+        computed from the unclamped position (matching the reference, which
+        keeps gradients alive at the border).
+
+    Returns:
+      [B, N, C] sampled features.
+    """
+    B, H, W, C = table.shape
+    ix = (coords[..., 0] + 1.0) * 0.5 * (W - 1)  # [B, N]
+    iy = (coords[..., 1] + 1.0) * 0.5 * (H - 1)
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+
+    # Corner weights from the *unclamped* continuous position.
+    wx1 = ix - ix0
+    wy1 = iy - iy0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    x0 = jnp.clip(ix0.astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(ix0.astype(jnp.int32) + 1, 0, W - 1)
+    y0 = jnp.clip(iy0.astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(iy0.astype(jnp.int32) + 1, 0, H - 1)
+
+    flat = table.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        idx = yi * W + xi  # [B, N]
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, N, C]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+
+    w00 = (wy0 * wx0)[..., None]
+    w01 = (wy0 * wx1)[..., None]
+    w10 = (wy1 * wx0)[..., None]
+    w11 = (wy1 * wx1)[..., None]
+
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11

@@ -1,0 +1,139 @@
+"""Depth-sample generation: stratified sampling and inverse-CDF importance
+sampling.
+
+Functional JAX re-design of the reference samplers (reference:
+lib/nerf_utils.py:96-122 stratified, lib/nerf_utils.py:185-224 sample_pdf,
+lib/ops.py:20-26 stratified volume sampling). Randomness flows through
+explicit PRNG keys; `key=None` selects the deterministic variants used by
+golden tests and evaluation. searchsorted is expressed as a vectorized
+rank-count so it fuses into one XLA reduction (TPU-friendly: no host-side
+sort, no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_query_points_from_rays(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    num_samples: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stratified depth sampling in [near, far] along each ray.
+
+    Args:
+      ray_origins: [B, H, W, 3] (or [B, R, 3]-style; broadcasting by shape).
+      ray_directions: same shape as origins.
+      near, far: per-ray thresholds, shape = origins.shape[:-1] or [B].
+      num_samples: S, static.
+      key: PRNG key for jitter; None = deterministic bin left edges.
+
+    Returns:
+      (query_points [..., S, 3], depth_values [..., S]).
+    """
+    dtype = ray_origins.dtype
+    near_plane = near[..., None]
+    far_plane = far[..., None]
+    frac = jnp.arange(num_samples, dtype=dtype) / num_samples
+    depth_values = near_plane + (far_plane - near_plane) * frac
+
+    if depth_values.ndim != ray_origins.ndim:
+        # near/far given per-batch only: broadcast across the pixel grid.
+        expand = (slice(None),) + (None,) * (ray_origins.ndim - 2) + (slice(None),)
+        depth_values = depth_values[expand]
+        near_plane = near_plane[expand]
+        far_plane = far_plane[expand]
+
+    if key is not None:
+        delta = (far_plane - near_plane) / num_samples
+        shape = jnp.broadcast_shapes(
+            depth_values.shape, ray_origins.shape[:-1] + (num_samples,)
+        )
+        jitter = jax.random.uniform(key, shape, dtype=dtype)
+        depth_values = depth_values + jitter * delta
+
+    query_points = (
+        ray_origins[..., None, :]
+        + ray_directions[..., None, :] * depth_values[..., :, None]
+    )
+    return query_points, depth_values
+
+
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    num_samples: int,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Inverse-CDF importance sampling of new depths from per-bin weights.
+
+    Args:
+      bins: [N, M] bin positions (midpoints of coarse depths).
+      weights: [N, M-1] unnormalized weights per interval.
+      num_samples: number of new samples per ray, static.
+      key: PRNG key; None = deterministic linspace quantiles.
+
+    Returns:
+      samples [N, num_samples].
+    """
+    dtype = weights.dtype
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate((jnp.zeros_like(cdf[..., :1]), cdf), axis=-1)  # [N, M]
+
+    if key is None:
+        u = jnp.linspace(0.0, 1.0, num_samples, dtype=dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,), dtype=dtype)
+
+    # searchsorted(cdf, u, right=True) == count of cdf entries <= u.
+    # Expressed as a rank-count so XLA fuses it into a single reduction;
+    # [N, num_samples, M] intermediate never materializes.
+    inds = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def sample_volume_stratified(
+    key: jax.Array,
+    batch_size: int,
+    nstrata: int,
+    scene_range: float,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Stratified 3D volume samples in [-scene_range, scene_range]^3.
+
+    One jittered sample per cell of an (nstrata-1)^3 grid, flattened —
+    used by the SDF eikonal / TV / entropy regularizers (reference:
+    lib/ops.py:20-26).
+
+    Returns [batch_size, (nstrata-1)^3, 3].
+    """
+    n = nstrata - 1
+    grid = jnp.arange(n, dtype=dtype)
+    gx, gy, gz = jnp.meshgrid(grid, grid, grid, indexing="xy")
+    cells = jnp.stack((gx, gy, gz), axis=-1).reshape(1, -1, 3)
+    cells = jnp.broadcast_to(cells, (batch_size, n * n * n, 3))
+    jitter = jax.random.uniform(key, cells.shape, dtype=dtype)
+    return ((cells + jitter) / n * 2.0 - 1.0) * scene_range
