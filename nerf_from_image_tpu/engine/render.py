@@ -1,0 +1,276 @@
+"""Differentiable volume rendering: coarse -> fine orchestration.
+
+Functional JAX re-design of the engine-level renderer (reference:
+run.py:176-350). One pure function, jit/pjit-compiled by callers:
+
+  rays -> AABB near/far -> stratified coarse pass -> EG3D weight smoothing
+  -> inverse-CDF fine pass -> depth-sorted merge -> alpha composite.
+
+The generator's triplanes are synthesized ONCE per render and the field is
+queried per pass (the reference's `sampler` closure contract, made explicit
+data-flow). All shapes are static; the sort-merge is a single lax.sort_key_val
+over the concatenated sample axis. Randomness flows through an explicit key;
+key=None gives the deterministic render used by golden tests and eval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_from_image_tpu.ops import aabb, compositing, rays, sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (hashable: closed over by jit)."""
+
+    resolution: int = 128
+    depth_samples_per_ray: int = 64
+    fine_sampling: bool = True
+    scene_range: float = 1.4
+    white_background: bool = False
+    use_viewdir: bool = False
+    compute_normals: bool = False
+    compute_semantics: bool = False
+    compute_coords: bool = False
+
+
+def prepare_rays(
+    config: RenderConfig,
+    tform_cam2world: jnp.ndarray,
+    focal_length: Optional[jnp.ndarray],
+    center: Optional[jnp.ndarray] = None,
+    bbox: Optional[jnp.ndarray] = None,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+):
+    """Ray bundle + near/far planes for a pixel grid."""
+    h = height or config.resolution
+    w = width or config.resolution
+    ray_origins, ray_directions = rays.get_ray_bundle(
+        h, w, focal_length, tform_cam2world, bbox, center
+    )
+    ray_directions = rays.normalize_directions(ray_directions)
+    near, far = aabb.compute_near_far_planes(
+        ray_origins, ray_directions, config.scene_range
+    )
+    return ray_origins, ray_directions, near, far
+
+
+def render_field(
+    config: RenderConfig,
+    field_fn,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    force_no_cam_grad: bool = False,
+) -> Tuple[compositing.CompositeOutput, Dict[str, jnp.ndarray]]:
+    """Renders a radiance field along the given rays.
+
+    Args:
+      field_fn: callable (points [B, N, 3], outputs tuple) -> dict with
+        'sigma' [B, N], 'rgb' [B, N, C] and optional extras — typically a
+        partial application of Generator.sample_field over fixed planes.
+
+    Returns:
+      (composite, aux) where composite holds rgb/depth/mask/normals/semantics
+      maps of shape [B, H, W, ...].
+    """
+    B, H, W, _ = ray_origins.shape
+    S = config.depth_samples_per_ray
+
+    key_coarse, key_fine = (
+        jax.random.split(key) if key is not None else (None, None)
+    )
+    query_points, depth_values = sampling.compute_query_points_from_rays(
+        ray_origins, ray_directions, near, far, S, key=key_coarse
+    )
+    if force_no_cam_grad:
+        query_points = jax.lax.stop_gradient(query_points)
+        depth_values = jax.lax.stop_gradient(depth_values)
+        ray_directions = jax.lax.stop_gradient(ray_directions)
+
+    requests = ["sigma", "rgb"]
+    if config.compute_normals:
+        requests.append("normals")
+    if config.compute_semantics:
+        requests.append("semantics")
+    if config.compute_coords:
+        requests.append("coords")
+    requests = tuple(requests)
+
+    def query(points):
+        flat = points.reshape(B, -1, 3)
+        out = field_fn(flat, requests)
+        per_sample = {}
+        n_samples = points.shape[-2]
+        for k, v in out.items():
+            if k == "sigma":
+                per_sample[k] = v.reshape(B, H, W, n_samples)
+            else:
+                per_sample[k] = v.reshape(B, H, W, n_samples, -1)
+        return per_sample
+
+    coarse = query(query_points)
+    sigma = coarse["sigma"]
+    channels = {k: v for k, v in coarse.items() if k != "sigma"}
+
+    if config.fine_sampling:
+        weights = compositing.render_volume_density_weights_only(
+            sigma, ray_directions, depth_values
+        )
+        flat_w = compositing.smooth_weights(weights.reshape(-1, S))
+        z_mid = 0.5 * (depth_values[..., 1:] + depth_values[..., :-1])
+        z_samples = sampling.sample_pdf(
+            z_mid.reshape(-1, S - 1),
+            flat_w[..., 1:-1],
+            S,
+            key=key_fine,
+        ).reshape(B, H, W, S)
+        z_samples = jax.lax.stop_gradient(z_samples)
+
+        fine_points = (
+            ray_origins[..., None, :]
+            + ray_directions[..., None, :] * z_samples[..., :, None]
+        )
+        fine = query(fine_points)
+
+        all_depths = jnp.concatenate((depth_values, z_samples), axis=-1)
+        order = jnp.argsort(all_depths, axis=-1)
+        depth_values = jnp.take_along_axis(all_depths, order, axis=-1)
+        sigma = jnp.take_along_axis(
+            jnp.concatenate((sigma, fine["sigma"]), axis=-1), order, axis=-1
+        )
+        channels = {
+            k: jnp.take_along_axis(
+                jnp.concatenate((v, fine[k]), axis=-2),
+                order[..., None],
+                axis=-2,
+            )
+            for k, v in channels.items()
+        }
+
+    semantics = channels.get("semantics")
+    if "coords" in channels:
+        # Reference overloads the semantic slot with canonical coordinates
+        # when compute_coords is requested (run.py:337-338).
+        semantics = channels["coords"]
+
+    out = compositing.render_volume_density(
+        sigma,
+        channels["rgb"],
+        ray_directions,
+        depth_values,
+        channels.get("normals"),
+        semantics,
+        white_background=config.white_background,
+    )
+    aux = {"depth_values": depth_values}
+    return out, aux
+
+
+def make_field_fn(model, variables, planes, attention_values=None,
+                  viewdir_embedding=None):
+    """Binds Generator.sample_field over fixed synthesized planes."""
+
+    def field_fn(points, outputs):
+        return model.apply(
+            variables,
+            planes,
+            points,
+            attention_values=attention_values,
+            viewdir_embedding=viewdir_embedding,
+            outputs=outputs,
+            method="sample_field",
+        )
+
+    return field_fn
+
+
+def render(
+    config: RenderConfig,
+    model,
+    variables,
+    tform_cam2world: jnp.ndarray,
+    focal_length: Optional[jnp.ndarray],
+    latent: jnp.ndarray,
+    center: Optional[jnp.ndarray] = None,
+    bbox: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    label: Optional[jnp.ndarray] = None,
+    image: Optional[jnp.ndarray] = None,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    force_no_cam_grad: bool = False,
+    noise_mode: str = "none",
+    attention_values_override: Optional[jnp.ndarray] = None,
+    attention_values_bias: Optional[jnp.ndarray] = None,
+) -> Tuple[compositing.CompositeOutput, Dict[str, Any]]:
+    """Full render from latents + camera (reference render(), run.py:176-350).
+
+    `latent` follows the reference convention: [B, z_dim] is mapped through
+    the mapping network; [B, 1, w_dim] broadcasts one w to all layers;
+    [B, num_ws, w_dim] is used as-is.
+    """
+    ray_origins, ray_directions, near, far = prepare_rays(
+        config, tform_cam2world, focal_length, center, bbox, height, width
+    )
+
+    key_noise, key_render = (
+        jax.random.split(key) if key is not None else (None, None)
+    )
+
+    if latent.ndim == 3:
+        if latent.shape[1] == 1:
+            ws = jnp.broadcast_to(
+                latent, (latent.shape[0], model.num_ws, latent.shape[2])
+            )
+        else:
+            ws = latent
+    else:
+        ws = model.apply(variables, latent, label, image, method="mapping")
+
+    planes = model.apply(
+        variables, ws, noise_mode, key_noise, method="synthesize"
+    )
+    attention_values = None
+    if model.attention_values > 0:
+        if attention_values_override is not None:
+            attention_values = attention_values_override
+        else:
+            attention_values = model.apply(variables, ws, method="texture")
+            if attention_values_bias is not None:
+                attention_values = attention_values + attention_values_bias
+
+    viewdir_embedding = None
+    if config.use_viewdir:
+        B, H, W, _ = ray_directions.shape
+        viewdirs = ray_directions.reshape(B, H * W, 1, 3)
+        viewdir_embedding = model.apply(
+            variables, viewdirs, method="viewdir_embedding"
+        )
+
+    field_fn = make_field_fn(
+        model, variables, planes, attention_values, viewdir_embedding
+    )
+    out, aux = render_field(
+        config,
+        field_fn,
+        ray_origins,
+        ray_directions,
+        near,
+        far,
+        key=key_render,
+        force_no_cam_grad=force_no_cam_grad,
+    )
+    aux["ws"] = ws
+    aux["planes"] = planes
+    if attention_values is not None:
+        aux["attention_values"] = attention_values
+    return out, aux

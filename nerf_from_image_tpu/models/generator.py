@@ -459,6 +459,28 @@ class Generator(nn.Module):
                 res["semantics"] = semantics
         return res
 
+    def init_all(self):
+        """Touches every submodule once so `init(method='init_all')` builds
+        the complete variable tree (flax initializes lazily per method)."""
+        B = 1
+        z = jnp.zeros((B, self.latent_dim))
+        label = jnp.zeros((B,), jnp.int32) if self.num_classes else None
+        image = (
+            jnp.zeros((B, 128, 128, 3)) if self.use_encoder else None
+        )
+        ws = self.mapping(z, label, image)
+        planes = self.synthesize(ws)
+        attn = self.texture(ws) if self.attention_values > 0 else None
+        vde = (
+            self.viewdir_embedding(jnp.zeros((B, 4, 1, 3)))
+            if self.use_viewdir
+            else None
+        )
+        pts = jnp.zeros((B, 8, 3))
+        return self.sample_field(
+            planes, pts, attention_values=attn, viewdir_embedding=vde
+        )
+
     def _bbox_mask(self, points, out_of_box):
         """Wireframe bounding-box overlay density (visualization;
         reference models/generator.py:645-659)."""
