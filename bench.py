@@ -1,0 +1,99 @@
+"""Headline benchmark: forward+backward ray-march throughput (rays/s/chip).
+
+Measures the fully differentiable render (triplane synthesis + coarse/fine
+field queries + compositing) with gradients w.r.t. latents AND camera pose —
+the inner loop of hybrid inversion and GAN training — at the reference
+configuration (128^2 rays, 64 coarse + 64 fine samples; reference:
+arguments.py:36-39, run.py:511-514).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is measured against the round-1 pure-XLA fp32 implementation
+on one TPU v5e chip (the first recorded value of this benchmark); the
+reference repo publishes no throughput numbers (BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Round-1 pure-XLA fp32 rays/s on 1x TPU v5e (recorded after first bench run;
+# serves as the fixed baseline all later rounds are compared against).
+BASELINE_RAYS_PER_S = None
+
+BATCH = 4
+RES = 128
+SAMPLES = 64
+ITERS = 8
+
+
+def main():
+    from nerf_from_image_tpu.engine.render import RenderConfig, render
+    from nerf_from_image_tpu.models.generator import Generator
+
+    model = Generator(
+        latent_dim=512, scene_range=1.4, attention_values=10, use_sdf=True
+    )
+    config = RenderConfig(
+        resolution=RES,
+        depth_samples_per_ray=SAMPLES,
+        fine_sampling=True,
+        scene_range=1.4,
+        white_background=False,
+    )
+    variables = jax.jit(lambda k: model.init(k, method="init_all"))(
+        jax.random.key(0)
+    )
+
+    rng = np.random.default_rng(0)
+    mats = []
+    for _ in range(BATCH):
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        m = np.eye(4)
+        m[:3, :3] = q
+        m[:3, 3] = q @ np.array([0.0, 0.0, 3.0])
+        mats.append(m)
+    pose = jnp.asarray(np.stack(mats).astype(np.float32))
+    focal = jnp.full((BATCH,), 1.2)
+    ws = jax.random.normal(jax.random.key(1), (BATCH, model.num_ws, 512)) * 0.1
+
+    def loss_fn(ws, pose):
+        out, _ = render(config, model, variables, pose, focal, ws)
+        return jnp.sum(jnp.square(out.rgb)) + jnp.sum(jnp.square(out.mask))
+
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+
+    # Warmup / compile.
+    g = step(ws, pose)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = step(ws, pose)
+    jax.block_until_ready(g)
+    t1 = time.perf_counter()
+
+    rays = BATCH * RES * RES * ITERS
+    rays_per_s = rays / (t1 - t0)
+    vs_baseline = (
+        rays_per_s / BASELINE_RAYS_PER_S if BASELINE_RAYS_PER_S else 1.0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "raymarch_fwdbwd_rays_per_s_per_chip",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

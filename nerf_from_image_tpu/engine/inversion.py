@@ -1,0 +1,219 @@
+"""Hybrid inversion: gradient descent on (w, pose) through the renderer.
+
+JAX re-design of the reference inversion driver (reference:
+run.py:1743-2405). The reference runs a Python loop of 30 Adam steps with a
+backward per step and host-side parameter projections (run.py:2256-2310);
+here the WHOLE optimization is one lax.scan inside a single jit program:
+
+  step: pose params -> cam2world (pose/pose.py) -> differentiable render
+        -> crop-augmented LPIPS + L1/MSE loss -> Adam -> re-projection
+        (quaternion renormalize, z0 clamp to [-4, 4], |s|)
+
+Target LPIPS features are computed once and cached across all steps
+(the reference's feature-caching path, lib/metrics.py:121-137). The latent
+is optimized as z = w / lr_gain_z so its effective learning rate is
+lr * gain (reference: run.py:1983, 2269).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_from_image_tpu.engine import augment as augment_mod
+from nerf_from_image_tpu.engine.render import RenderConfig, render
+from nerf_from_image_tpu.pose.pose import matrix_to_pose, pose_to_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class InversionConfig:
+    steps: int = 30
+    lr: float = 2e-3
+    b1: float = 0.9
+    b2: float = 0.95
+    lr_gain_z: float = 5.0
+    loss: str = "vgg"  # 'vgg' | 'vgg_nocrop' | 'l1' | 'mse' | 'mixed'
+    num_augmentations: int = 15
+    optimize_pose: bool = True
+    camera_flipped: bool = False
+    is_ortho: bool = False
+
+
+class PoseParams(NamedTuple):
+    """Optimizable pose leaves (z0 absent for orthographic cameras)."""
+
+    z0: Optional[jnp.ndarray]
+    t2: jnp.ndarray
+    s: jnp.ndarray
+    q: jnp.ndarray
+
+
+def pose_params_from_matrix(
+    pose: jnp.ndarray,
+    focal: Optional[jnp.ndarray],
+    camera_flipped: bool,
+) -> PoseParams:
+    z0, t2, s, q = matrix_to_pose(pose, focal, camera_flipped)
+    return PoseParams(z0, t2, s, q)
+
+
+def _normalize_q(q):
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def build_camera(params: PoseParams, camera_flipped: bool):
+    return pose_to_matrix(
+        params.z0, params.t2, params.s, _normalize_q(params.q), camera_flipped
+    )
+
+
+def _project(params: PoseParams) -> PoseParams:
+    """Post-step constraint projection (reference: run.py:2307-2310)."""
+    z0 = None if params.z0 is None else jnp.clip(params.z0, -4.0, 4.0)
+    return PoseParams(z0, params.t2, jnp.abs(params.s), _normalize_q(params.q))
+
+
+def reconstruction_loss(
+    config: InversionConfig,
+    lpips_model,
+    lpips_variables,
+    rgb_predicted: jnp.ndarray,
+    target: jnp.ndarray,
+    target_features,
+    key,
+) -> jnp.ndarray:
+    """Crop-augmented perceptual + pixel loss (reference: run.py:2202-2254).
+
+    rgb_predicted/target: [B, H, W, 3] in [-1, 1]. Returns summed-over-batch
+    loss (the reference multiplies the mean by B: disjoint samples).
+    """
+    B = rgb_predicted.shape[0]
+    loss = 0.0
+    if config.loss in ("vgg", "vgg_nocrop", "mixed"):
+        pred_aug = rgb_predicted
+        tgt_aug: Any = target
+        use_cached = target_features is not None
+        if config.loss != "vgg_nocrop" and config.num_augmentations > 0:
+            n_aug = config.num_augmentations
+            pair = jnp.concatenate((rgb_predicted, target), axis=-1)
+            pair = jnp.repeat(pair, n_aug, axis=0)
+            pair_aug, _, _, _ = augment_mod.augment(
+                key, pair, None, None, jnp.asarray(1.0),
+                white_background=False,
+            )
+            pred_aug = jnp.concatenate(
+                (rgb_predicted, pair_aug[..., :3]), axis=0
+            )
+            tgt_aug = jnp.concatenate((target, pair_aug[..., 3:]), axis=0)
+            use_cached = False
+
+        if use_cached:
+            d = lpips_model.apply(lpips_variables, pred_aug, target_features)
+        else:
+            d = lpips_model.apply(lpips_variables, pred_aug, tgt_aug)
+        loss = loss + jnp.mean(d) * B
+    if config.loss in ("l1", "mixed"):
+        loss = loss + jnp.mean(jnp.abs(rgb_predicted - target)) * B
+    if config.loss == "mse":
+        loss = jnp.mean(jnp.square(rgb_predicted - target)) * B
+    if config.loss == "mixed":
+        loss = loss / 2.0
+    return loss
+
+
+def make_invert_fn(
+    config: InversionConfig,
+    render_config: RenderConfig,
+    model,
+    generator_variables,
+    lpips_model,
+    lpips_variables,
+):
+    """Builds a jittable inversion routine.
+
+    Returns invert(z, pose_params, target_img, key, center, bbox, n_steps)
+    -> (z_final, pose_params_final, per_step_losses).
+
+    `z` is the pre-gain latent (w_init / lr_gain_z), shape [B, 1, w_dim].
+    The returned function is pure; wrap in jax.jit (n_steps static).
+    """
+
+    def render_current(z, pose_params, key, center, bbox):
+        cam, focal = build_camera(pose_params, config.camera_flipped)
+        out, _ = render(
+            render_config,
+            model,
+            generator_variables,
+            cam,
+            focal,
+            z * config.lr_gain_z,
+            center=center,
+            bbox=bbox,
+            key=key,
+            force_no_cam_grad=not config.optimize_pose,
+        )
+        return out
+
+    def invert(z, pose_params, target_img, key, center=None, bbox=None,
+               n_steps: int = None):
+        n = config.steps if n_steps is None else n_steps
+        target = target_img[..., :3]
+        target_features = lpips_model.apply(
+            lpips_variables, target, method="features"
+        )
+
+        if config.optimize_pose:
+            opt_params = {"z": z, "pose": pose_params}
+        else:
+            opt_params = {"z": z}
+
+        tx = optax.adam(config.lr, b1=config.b1, b2=config.b2)
+        opt_state = tx.init(opt_params)
+
+        def loss_fn(opt_params, pose_fixed, k_render, k_aug):
+            pose_p = (
+                opt_params["pose"] if config.optimize_pose else pose_fixed
+            )
+            out = render_current(
+                opt_params["z"], pose_p, k_render, center, bbox
+            )
+            loss = reconstruction_loss(
+                config,
+                lpips_model,
+                lpips_variables,
+                out.rgb[..., :3],
+                target,
+                target_features,
+                k_aug,
+            )
+            return loss
+
+        def step(carry, k):
+            opt_params, pose_fixed, opt_state = carry
+            k_render, k_aug = jax.random.split(k)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                opt_params, pose_fixed, k_render, k_aug
+            )
+            updates, opt_state = tx.update(grads, opt_state, opt_params)
+            opt_params = optax.apply_updates(opt_params, updates)
+            if config.optimize_pose:
+                opt_params = {
+                    "z": opt_params["z"],
+                    "pose": _project(opt_params["pose"]),
+                }
+            return (opt_params, pose_fixed, opt_state), loss
+
+        keys = jax.random.split(key, n)
+        (opt_params, pose_fixed, _), losses = jax.lax.scan(
+            step, (opt_params, pose_params, opt_state), keys
+        )
+        pose_final = (
+            opt_params["pose"] if config.optimize_pose else pose_fixed
+        )
+        return opt_params["z"], pose_final, losses
+
+    return invert

@@ -255,11 +255,20 @@ class Generator(nn.Module):
     w_dim: int = 512
     plane_channels: int = 32
     synthesis_resolution: int = 256
+    channel_base: int = 32768
+    channel_max: int = 512
     use_stylegan_noise: bool = False  # disable_stylegan_noise default True
 
     @property
+    def num_synthesis_ws(self) -> int:
+        import math as _math
+
+        n_levels = int(_math.log2(self.synthesis_resolution)) - 1
+        return 2 * n_levels - 1 + 1  # 1 conv at 4x4, 2 per level after, +torgb
+
+    @property
     def num_ws(self) -> int:
-        return 14 + (1 if self.attention_values > 0 else 0)
+        return self.num_synthesis_ws + (1 if self.attention_values > 0 else 0)
 
     def setup(self):
         c_dim = 512 if self.num_classes else 0
@@ -280,6 +289,8 @@ class Generator(nn.Module):
             w_dim=self.w_dim,
             img_resolution=self.synthesis_resolution,
             img_channels=3 * self.plane_channels,
+            channel_base=self.channel_base,
+            channel_max=self.channel_max,
             use_noise=True,  # params exist; noise_mode controls usage
         )
         if self.use_viewdir:
@@ -329,16 +340,18 @@ class Generator(nn.Module):
 
     def synthesize(self, ws, noise_mode: str = "none", noise_key=None):
         """ws [B, num_ws, 512] -> triplanes [B, 3, R, R, C]."""
-        w_synthesis = ws[:, :14] if self.attention_values > 0 else ws
+        w_synthesis = (
+            ws[:, : self.num_synthesis_ws] if self.attention_values > 0 else ws
+        )
         img = self.synthesis_network(w_synthesis, noise_mode, noise_key)
         B, H, W, _ = img.shape
         planes = img.reshape(B, H, W, 3, self.plane_channels)
         return jnp.transpose(planes, (0, 3, 1, 2, 4))
 
     def texture(self, ws):
-        """15th w -> attention palette (only when attention_values > 0)."""
+        """Last (texture) w -> attention palette (attention_values > 0)."""
         assert self.attention_values > 0
-        return self.texture_mapper(ws[:, 14])
+        return self.texture_mapper(ws[:, self.num_synthesis_ws])
 
     def viewdir_embedding(self, viewdirs):
         """Per-ray view-direction embedding (CARLA only)."""

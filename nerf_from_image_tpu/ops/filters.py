@@ -94,6 +94,38 @@ def filt2d_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return depthwise_conv2d(x, kernel, stride=1, padding=pad)
 
 
+def blur_dynamic(
+    x: jnp.ndarray,
+    sigma: jnp.ndarray,
+    white_background: bool,
+    max_blur_size: int = 30,
+) -> jnp.ndarray:
+    """Warmup blur with a TRACED sigma — one compiled program for the whole
+    blur schedule.
+
+    Matches the reference blur (lib/ops.py:42-55) which rebuilds a
+    floor(3*sigma)-tap kernel every iteration (a dynamic shape). Here the
+    kernel has a fixed 2*max_blur_size+1 support and taps beyond the
+    reference's dynamic extent are masked to zero in-graph, so the result is
+    bit-identical to the dynamic kernel while keeping shapes static under
+    jit. sigma == 0 reduces exactly to identity.
+    """
+    taps = jnp.arange(-max_blur_size, max_blur_size + 1, dtype=x.dtype)
+    blur_size = jnp.floor(sigma * 3.0)
+    safe_sigma = jnp.maximum(sigma, 1e-8)
+    f = jnp.exp2(-jnp.square(taps / safe_sigma))
+    f = jnp.where(jnp.abs(taps) <= blur_size, f, 0.0)
+    f = jnp.where(blur_size > 0, f, (taps == 0).astype(x.dtype))
+    f = f / jnp.sum(f)
+    kernel = f[None, :] * f[:, None]
+    if white_background:
+        x = x - 1.0
+    x = depthwise_conv2d(x, kernel, stride=1, padding=max_blur_size)
+    if white_background:
+        x = x + 1.0
+    return x
+
+
 def blur_schedule_sigma(iteration, blur_warmup_iters: int):
     """Progressive blur sigma: 10 -> 0 linearly over the warmup."""
     return jnp.maximum(1.0 - iteration / blur_warmup_iters, 0.0) * 10.0

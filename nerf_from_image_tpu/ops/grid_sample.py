@@ -69,3 +69,45 @@ def grid_sample_2d(table: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     w11 = (wy1 * wx1)[..., None]
 
     return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+
+def grid_sample_2d_zeros(table: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling with zeros padding and align_corners=False.
+
+    torch.nn.functional.grid_sample(mode='bilinear', padding_mode='zeros',
+    align_corners=False) semantics — used by the ADA augmentation pipeline
+    (reference: run.py:798-806).
+
+    Args:
+      table: [B, H, W, C]; coords: [B, N, 2] in [-1, 1] (x indexes W).
+    Returns:
+      [B, N, C].
+    """
+    B, H, W, C = table.shape
+    ix = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5
+    iy = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    wx1 = ix - ix0
+    wy1 = iy - iy0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    x0i = ix0.astype(jnp.int32)
+    y0i = iy0.astype(jnp.int32)
+
+    flat = table.reshape(B, H * W, C)
+
+    def corner(yi, xi, w):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return v * (w * valid.astype(table.dtype))[..., None]
+
+    return (
+        corner(y0i, x0i, wy0 * wx0)
+        + corner(y0i, x0i + 1, wy0 * wx1)
+        + corner(y0i + 1, x0i, wy1 * wx0)
+        + corner(y0i + 1, x0i + 1, wy1 * wx1)
+    )

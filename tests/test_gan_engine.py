@@ -1,0 +1,252 @@
+"""GAN training engine: smoke + semantics tests on a tiny config, plus the
+ADA augmentation golden test vs the reference implementation."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import reference_available
+
+
+def tiny_models():
+    from nerf_from_image_tpu.models.discriminator import Discriminator
+    from nerf_from_image_tpu.models.generator import Generator
+
+    model = Generator(
+        latent_dim=64,
+        scene_range=0.55,
+        attention_values=0,
+        use_sdf=True,
+        w_dim=64,
+        plane_channels=8,
+        synthesis_resolution=16,
+        channel_base=512,
+        channel_max=64,
+    )
+    disc = Discriminator(
+        resolution=16, nc=3, camera_flipped=False, conditional_pose=True
+    )
+    return model, disc
+
+
+def tiny_configs():
+    from nerf_from_image_tpu.engine.gan import GANTrainConfig
+    from nerf_from_image_tpu.engine.render import RenderConfig
+
+    config = GANTrainConfig(
+        batch_size=4,
+        latent_dim=64,
+        white_background=True,
+        augment_p=0.0,
+        path_length_regularization=True,
+        tv=0.5,
+        entropy=0.05,
+    )
+    render_config = RenderConfig(
+        resolution=16,
+        depth_samples_per_ray=8,
+        fine_sampling=True,
+        scene_range=0.55,
+        white_background=True,
+    )
+    return config, render_config
+
+
+def random_batch(rng, bs, with_images=False, res=16, nc=3):
+    mats = []
+    for _ in range(bs):
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        m = np.eye(4)
+        m[:3, :3] = q
+        m[:3, 3] = q @ np.array([0.0, 0.0, 2.5])
+        mats.append(m)
+    batch = {
+        "pose": jnp.asarray(np.stack(mats).astype(np.float32)),
+        "focal": jnp.asarray((1.0 + rng.random(bs)).astype(np.float32)),
+    }
+    if with_images:
+        batch["images"] = jnp.asarray(
+            rng.random((bs, res, res, nc)).astype(np.float32) * 2 - 1
+        )
+    return batch
+
+
+class TestGANSteps:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from nerf_from_image_tpu.engine import gan
+
+        model, disc = tiny_models()
+        config, render_config = tiny_configs()
+        state = gan.init_gan_state(
+            config, model, disc, jax.random.key(0), render_config
+        )
+        return gan, model, disc, config, render_config, state
+
+    def test_g_then_d_step(self, setup):
+        gan, model, disc, config, render_config, state = setup
+        rng = np.random.default_rng(0)
+
+        g_step = jax.jit(
+            lambda s, b, k: gan.g_step(
+                config, render_config, model, disc, s, b, k
+            )
+        )
+        d_step = jax.jit(
+            lambda s, rb, fb, k: gan.d_step(
+                config, render_config, model, disc, s, rb, fb, k
+            )
+        )
+
+        state1, gm = g_step(state, random_batch(rng, 4), jax.random.key(1))
+        assert int(state1.iteration) == 1
+        assert np.isfinite(float(gm["loss_g"]))
+        assert np.isfinite(float(gm["loss_eikonal"]))
+        assert np.isfinite(float(gm["loss_ppl"]))
+        # Params actually moved.
+        delta = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(
+                lambda a, b: float(jnp.abs(a - b).sum()),
+                state.params_g,
+                state1.params_g,
+            ),
+        )
+        assert delta > 0
+
+        state2, dm = d_step(
+            state1,
+            random_batch(rng, 4, with_images=True),
+            random_batch(rng, 4),
+            jax.random.key(2),
+        )
+        assert int(state2.iteration) == 2
+        for k in ["loss_d_real", "loss_d_fake", "loss_r1"]:
+            assert np.isfinite(float(dm[k])), k
+        assert float(dm["loss_r1"]) > 0  # R1 penalty active
+
+        # SDF params clamped positive.
+        assert float(state2.params_g["beta"][0]) >= 1e-3
+        assert float(state2.params_g["alpha"][0]) >= 1e-3
+
+    def test_ema_decay_schedule(self, setup):
+        gan = setup[0]
+        a0 = float(gan._ema_decay(jnp.asarray(0), 32))
+        a1 = float(gan._ema_decay(jnp.asarray(5000), 32))
+        a2 = float(gan._ema_decay(jnp.asarray(20000), 32))
+        base = 0.5 ** (32 / 10000)
+        np.testing.assert_allclose(a0, base**100, rtol=1e-6)
+        np.testing.assert_allclose(a1, base**10, rtol=1e-6)
+        np.testing.assert_allclose(a2, base, rtol=1e-6)
+        assert a0 < a1 < a2
+
+    def test_sdf_pretrain_step(self, setup):
+        import optax
+
+        gan, model, disc, config, render_config, state = setup
+        opt = optax.adam(config.lr_g)
+        opt_state = opt.init(state.params_g)
+        step = jax.jit(
+            lambda p, o, k: gan.sdf_pretrain_step(
+                config, model, p, o, opt, k, buffers=state.buffers_g
+            )
+        )
+        params, opt_state, loss = step(
+            state.params_g, opt_state, jax.random.key(3)
+        )
+        assert np.isfinite(float(loss))
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+class TestAugmentGolden:
+    def test_augment_matches_reference(self):
+        """Image+pose+focal transform matches run.py:720-818 for a fixed
+        (rot, scale, translation) transform."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from nerf_from_image_tpu.engine import augment as aug_mod
+        from tests.conftest import import_reference_module
+
+        ref_pose_utils = import_reference_module("lib.pose_utils")
+
+        rng = np.random.default_rng(5)
+        B, H, W, C = 3, 16, 16, 3
+        img = rng.random((B, H, W, C)).astype(np.float32) * 2 - 1
+        mats = []
+        for _ in range(B):
+            q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            m = np.eye(4)
+            m[:3, :3] = q
+            m[:3, 3] = q @ np.array([0, 0, 2.5])
+            mats.append(m)
+        pose = np.stack(mats).astype(np.float32)
+        focal = (1.0 + rng.random(B)).astype(np.float32)
+
+        rot = rng.uniform(-np.pi, np.pi, B).astype(np.float32)
+        scale = np.exp2(rng.normal(0, 0.2, B)).astype(np.float32)
+        translation = (rng.normal(0, 0.1, (B, 2))).astype(np.float32)
+
+        # --- Reference path (torch), replicating run.py:745-795 exactly.
+        rot_t = torch.from_numpy(rot)
+        scale_t = torch.from_numpy(scale)
+        trans_t = torch.from_numpy(translation)
+        img_t = torch.from_numpy(img).permute(0, 3, 1, 2)
+        pose_t = torch.from_numpy(pose)
+        focal_t = torch.from_numpy(focal)
+
+        mat = torch.zeros((B, 2, 3))
+        mat[:, 0, 0] = torch.cos(rot_t)
+        mat[:, 0, 1] = -torch.sin(rot_t)
+        mat[:, 0, 2] = trans_t[:, 0]
+        mat[:, 1, 0] = torch.sin(rot_t)
+        mat[:, 1, 1] = torch.cos(rot_t)
+        mat[:, 1, 2] = -trans_t[:, 1]
+        mat_scaled = mat.clone() * scale_t[:, None, None]
+        mat_scaled[:, :, 2] = torch.sum(
+            mat[:, :2, :2] * mat_scaled[:, :, 2].unsqueeze(-2), dim=-1
+        )
+        grid = F.affine_grid(mat_scaled, img_t.shape, align_corners=False)
+        ref_img = F.grid_sample(
+            img_t, grid, mode="bilinear", padding_mode="zeros",
+            align_corners=False,
+        ).permute(0, 2, 3, 1).numpy()
+
+        M = torch.eye(4).unsqueeze(0).expand(B, 4, 4).contiguous()
+        M[:, :2, :2] = mat[:, :2, :2]
+        focal_ref = focal_t / scale_t
+        pose_ref = pose_t @ M.transpose(-2, -1)
+        cam_inverted = ref_pose_utils.invert_space(pose_ref)
+        cam_inverted[:, :2, 3] -= trans_t * (
+            -cam_inverted[:, 2:3, 3] / (2 * focal_ref[:, None])
+        )
+        pose_ref = ref_pose_utils.invert_space(cam_inverted).numpy()
+
+        # --- Ours.
+        tform = aug_mod.AugmentTransform(
+            jnp.asarray(rot), jnp.asarray(scale), jnp.asarray(translation)
+        )
+        got_img = aug_mod.augment_image(
+            jnp.asarray(img), tform, white_background=False
+        )
+        got_pose, got_focal = aug_mod.augment_pose(
+            jnp.asarray(pose), jnp.asarray(focal), tform
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(got_img), ref_img, rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_pose), pose_ref, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_focal), focal_ref.numpy(), rtol=1e-5, atol=1e-6
+        )
