@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 # Round-1 pure-XLA fp32 rays/s on 1x TPU v5e (recorded after first bench run;
 # serves as the fixed baseline all later rounds are compared against).
-BASELINE_RAYS_PER_S = None
+BASELINE_RAYS_PER_S = 11735.0  # measured 2026-08-17, pure-XLA fp32, chunk+remat
 
 BATCH = 4
 RES = 128

@@ -37,6 +37,11 @@ class RenderConfig:
     compute_normals: bool = False
     compute_semantics: bool = False
     compute_coords: bool = False
+    # Field queries are evaluated in rematerialized chunks of this many
+    # points per batch element (None = single call). Bounds the HBM held by
+    # the triplane corner gathers: activations inside a chunk are recomputed
+    # in the backward pass instead of stored (jax.checkpoint).
+    query_chunk: Optional[int] = 131072
 
 
 def prepare_rays(
@@ -107,7 +112,20 @@ def render_field(
 
     def query(points):
         flat = points.reshape(B, -1, 3)
-        out = field_fn(flat, requests)
+        n_points = flat.shape[1]
+        chunk = config.query_chunk
+        if chunk is not None and n_points > chunk and n_points % chunk == 0:
+            n_chunks = n_points // chunk
+            chunked = flat.reshape(B, n_chunks, chunk, 3).swapaxes(0, 1)
+            out = jax.lax.map(
+                jax.checkpoint(lambda p: field_fn(p, requests)), chunked
+            )
+            out = {
+                k: v.swapaxes(0, 1).reshape((B, n_points) + v.shape[3:])
+                for k, v in out.items()
+            }
+        else:
+            out = field_fn(flat, requests)
         per_sample = {}
         n_samples = points.shape[-2]
         for k, v in out.items():

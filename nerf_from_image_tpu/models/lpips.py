@@ -67,7 +67,16 @@ class LPIPS(nn.Module):
     """Perceptual distance: sum over layers of lin_l(|f0 - f1|^2) spatial
     means."""
 
-    @nn.compact
+    def setup(self):
+        self.net = VGG16Features()
+        chans = [c for c, _ in _VGG_STAGES]
+        self.lins = [
+            self.param(
+                f"lin{i}", nn.initializers.uniform(scale=0.1), (chans[i],)
+            )
+            for i in range(len(chans))
+        ]
+
     def __call__(self, in0, in1):
         f0 = self.features(in0)
         f1 = in1 if isinstance(in1, tuple) else self.features(in1)
@@ -78,20 +87,15 @@ class LPIPS(nn.Module):
         shift = jnp.asarray(_SHIFT, im.dtype)
         scale = jnp.asarray(_SCALE, im.dtype)
         x = (im - shift) / scale
-        taps = VGG16Features(name="net")(x)
+        taps = self.net(x)
         return tuple(normalize_tensor(t) for t in taps)
 
     def distance_from_features(self, f0, f1) -> jnp.ndarray:
         """[B, 1] perceptual distance from cached normalized features."""
         total = 0.0
         for i, (x, y) in enumerate(zip(f0, f1)):
-            w = self.param(
-                f"lin{i}",
-                nn.initializers.uniform(scale=0.1),
-                (x.shape[-1],),
-            )
             # 1x1 conv with non-negative weights (lpips clamps at eval).
-            d = jnp.square(x - y) @ jnp.maximum(w, 0.0)
+            d = jnp.square(x - y) @ jnp.maximum(self.lins[i], 0.0)
             total = total + jnp.mean(d, axis=(1, 2))
         return total[:, None]
 
