@@ -92,7 +92,20 @@ _DRIVING = dict(
     camera_flipped=True,
 )
 
+_SYNTHETIC = dict(
+    scene_range=0.55,
+    white_background=True,
+    has_mask=False,
+    has_bbox=False,
+    is_highres=False,
+    views_per_object=1,
+    views_per_object_test=None,
+    camera_projection_model="perspective",
+    camera_flipped=False,
+)
+
 DATASET_CONFIGS = {
+    "synthetic": _cfg("synthetic", **_SYNTHETIC),
     "shapenet_cars": _cfg("shapenet_cars", **_SHAPENET),
     "shapenet_chairs": _cfg("shapenet_chairs", **_SHAPENET),
     "p3d_car": _cfg("p3d_car", **_P3D),

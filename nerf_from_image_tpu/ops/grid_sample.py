@@ -52,11 +52,15 @@ def grid_sample_2d(table: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     y0 = jnp.clip(iy0.astype(jnp.int32), 0, H - 1)
     y1 = jnp.clip(iy0.astype(jnp.int32) + 1, 0, H - 1)
 
-    flat = table.reshape(B, H * W, C)
+    # Flat global-index gather: one [B*N] row gather from a [B*H*W, C]
+    # table hits XLA's fast TPU gather path (take_along_axis over a batched
+    # 3D operand is orders of magnitude slower).
+    flat = table.reshape(B * H * W, C)
+    batch_offset = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
 
     def gather(yi, xi):
-        idx = yi * W + xi  # [B, N]
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, N, C]
+        idx = (yi * W + xi + batch_offset).reshape(-1)  # [B*N]
+        return jnp.take(flat, idx, axis=0).reshape(B, -1, C)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)
@@ -97,12 +101,14 @@ def grid_sample_2d_zeros(table: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
     x0i = ix0.astype(jnp.int32)
     y0i = iy0.astype(jnp.int32)
 
-    flat = table.reshape(B, H * W, C)
+    flat = table.reshape(B * H * W, C)
+    batch_offset = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
 
     def corner(yi, xi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        idx = (idx + batch_offset).reshape(-1)
+        v = jnp.take(flat, idx, axis=0).reshape(B, -1, C)
         return v * (w * valid.astype(table.dtype))[..., None]
 
     return (

@@ -1,0 +1,170 @@
+"""Data-layer unit tests: COCO RLE codec, bbox/crop pipeline vs the
+reference implementations, and eval-index machinery."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import import_reference_module, reference_available
+
+
+class TestCocoMask:
+    def test_roundtrip(self):
+        from nerf_from_image_tpu.data import coco_mask
+
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            h, w = rng.integers(5, 40, 2)
+            mask = (rng.random((h, w)) > 0.6).astype(np.uint8)
+            rle = coco_mask.encode(mask)
+            out = coco_mask.decode(rle)
+            np.testing.assert_array_equal(out, mask)
+
+    def test_uncompressed_counts(self):
+        from nerf_from_image_tpu.data import coco_mask
+
+        rle = {"size": [2, 3], "counts": [1, 2, 3]}
+        out = coco_mask.decode(rle)
+        # Column-major: first 1 zero, then 2 ones, then 3 zeros.
+        flat = out.T.reshape(-1)
+        np.testing.assert_array_equal(flat, [0, 1, 1, 0, 0, 0])
+
+    def test_starts_with_one(self):
+        from nerf_from_image_tpu.data import coco_mask
+
+        mask = np.ones((4, 4), np.uint8)
+        out = coco_mask.decode(coco_mask.encode(mask))
+        np.testing.assert_array_equal(out, mask)
+
+
+def _import_reference_datasets():
+    """Imports the reference data.datasets with stubs for the optional heavy
+    deps (skimage/pycocotools) its module header pulls in — the helpers
+    under test here don't touch them."""
+    import sys
+    import types
+
+    for name in [
+        "skimage",
+        "skimage.io",
+        "pycocotools",
+        "pycocotools.mask",
+        "torchvision",
+        "nuscenes",
+        "nuscenes.utils",
+        "nuscenes.utils.geometry_utils",
+        "nuscenes.nuscenes",
+    ]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "torchvision":
+                mod.transforms = types.ModuleType("transforms")
+            if name.endswith("geometry_utils"):
+                mod.BoxVisibility = object
+                mod.view_points = lambda *a, **k: None
+                mod.points_in_box = lambda *a, **k: None
+            if name.endswith("nuscenes.nuscenes"):
+                mod.NuScenes = object
+            sys.modules[name] = mod
+    return import_reference_module("data.datasets")
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+class TestImageOpsGolden:
+    def test_bbox_pipeline_matches_reference(self):
+        ref_ds = _import_reference_datasets()
+        from nerf_from_image_tpu.data import image_ops
+
+        rng = np.random.default_rng(1)
+        for _ in range(10):
+            x1, y1 = rng.uniform(0, 50, 2)
+            bbox = [x1, y1, x1 + rng.uniform(5, 60), y1 + rng.uniform(5, 60)]
+            ref_p = ref_ds.CustomDataset.perturb_bbox(list(bbox), pf=0.05, jf=0)
+            got_p = image_ops.perturb_bbox(list(bbox), pf=0.05)
+            np.testing.assert_allclose(got_p, ref_p)
+            ref_sq = ref_ds.CustomDataset.square_bbox(ref_p)
+            got_sq = image_ops.square_bbox(got_p)
+            np.testing.assert_array_equal(got_sq, ref_sq)
+
+    def test_crop_matches_reference(self):
+        ref_ds = _import_reference_datasets()
+        from nerf_from_image_tpu.data import image_ops
+
+        rng = np.random.default_rng(2)
+        img = rng.random((30, 40, 3))
+        bbox = [-5, 3, 25, 33]  # partially out of bounds
+        ref = ref_ds.CustomDataset.crop(img, bbox, bgval=1)
+        got = image_ops.crop_padded(img, bbox, bgval=1)
+        np.testing.assert_allclose(got, ref)
+
+    def test_quaternion_to_matrix4_matches(self):
+        ref_ds = _import_reference_datasets()
+        from nerf_from_image_tpu.data.custom import quaternion_to_matrix4
+
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            q = rng.standard_normal(4)
+            ref = ref_ds.CustomDataset.quaternion_to_matrix(q)
+            got = quaternion_to_matrix4(q)
+            np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+class TestSplits:
+    def test_view_perm_multi_view(self):
+        from nerf_from_image_tpu.data.splits import compute_view_perm
+
+        indices = np.arange(20)
+        perm = compute_view_perm(indices, views_per_object=5)
+        assert len(perm) == 20
+        for i, p in zip(indices, perm):
+            assert i // 5 == p // 5  # same object
+
+    def test_view_perm_single_view(self):
+        from nerf_from_image_tpu.data.splits import compute_view_perm
+
+        indices = np.arange(10)
+        perm = compute_view_perm(indices, views_per_object=1)
+        assert sorted(perm.tolist()) == indices.tolist()
+
+    def test_eval_indices_cap(self):
+        from nerf_from_image_tpu.data.splits import (
+            DatasetSplit,
+            compute_eval_indices,
+        )
+
+        split = DatasetSplit(images=np.zeros((9000, 2, 2, 3), np.float32))
+        idx = compute_eval_indices(split)
+        assert len(idx) == 8000
+        assert (np.diff(idx) > 0).all()
+
+    def test_endless_sampler_covers_epoch(self):
+        from nerf_from_image_tpu.data.splits import EndlessSampler
+
+        s = EndlessSampler(10, np.random.RandomState(0))
+        drawn = np.concatenate([s(3) for _ in range(10)])
+        counts = np.bincount(drawn[:30], minlength=10)
+        assert counts.min() >= 2  # each index seen in 3 epochs of 30 draws
+
+
+class TestSynthetic:
+    def test_split_contract(self):
+        from nerf_from_image_tpu.data.loaders import load_dataset
+
+        config, train, train_eval, test = load_dataset(
+            "synthetic", data_path="/nonexistent", resolution=16, max_images=8
+        )
+        assert train.images.shape == (8, 16, 16, 3)
+        assert train.tform_cam2world.shape == (8, 4, 4)
+        assert train.focal_length.shape == (8,)
+        # Poses look at the origin from ~radius 3.
+        d = np.linalg.norm(train.tform_cam2world[:, :3, 3], axis=-1)
+        np.testing.assert_allclose(d, 3.0, rtol=1e-5)
+
+    def test_overrides(self):
+        from nerf_from_image_tpu.data.loaders import get_train_overrides
+
+        o = get_train_overrides("cub")
+        assert o.iterations == 200000 and o.supervise_alpha
+        o = get_train_overrides("shapenet_cars")
+        assert o.inv_no_optimize_pose and o.inv_use_testset
+        o = get_train_overrides("imagenet_elephant")
+        assert o.r1 == 10.0
