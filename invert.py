@@ -1,0 +1,213 @@
+"""Hybrid inversion driver (the reference's --run_inversion path).
+
+Loads a trained generator checkpoint (orbax, or a reference .pth via
+torch interop), runs the bootstrap encoder for a first guess, estimates
+poses with on-device PnP, refines (w, pose) by N jit-compiled Adam steps
+through the renderer, and writes the metrics report.
+
+Example (smoke, random weights):
+  python invert.py --dataset synthetic --batch_size 4 --resolution 32 \
+      --inv_steps 5 --max_images 8 --latent_dim 64
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from nerf_from_image_tpu import arguments
+    from nerf_from_image_tpu.data.loaders import get_train_overrides, load_dataset
+    from nerf_from_image_tpu.data.splits import (
+        compute_eval_indices,
+        compute_view_perm,
+    )
+    from nerf_from_image_tpu.engine import evaluate as eval_mod
+    from nerf_from_image_tpu.engine import inversion as inv_mod
+    from nerf_from_image_tpu.engine.render import RenderConfig
+    from nerf_from_image_tpu.models.generator import Generator
+    from nerf_from_image_tpu.models.lpips import LPIPS
+    from nerf_from_image_tpu.pose import pnp
+    from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+    args = arguments.parse_args()
+    overrides = get_train_overrides(args.dataset)
+
+    config_ds, train_split, train_eval_split, test_split = load_dataset(
+        args.dataset,
+        args.data_path,
+        resolution=args.resolution,
+        augment_p=0.0,
+        need_test=args.inv_use_testset or overrides.inv_use_testset,
+        max_images=args.max_images,
+    )
+    target_split = test_split if test_split is not None else train_eval_split
+
+    model = Generator(
+        latent_dim=args.latent_dim,
+        scene_range=config_ds.scene_range,
+        attention_values=args.attention_values,
+        use_viewdir=args.use_viewdir,
+        use_sdf=args.use_sdf,
+    )
+    variables = jax.jit(lambda k: model.init(k, method="init_all"))(
+        jax.random.key(0)
+    )
+    if args.resume_from:
+        ckpt_path = args.resume_from
+        if ckpt_path.endswith(".pth"):
+            from nerf_from_image_tpu.utils import torch_interop
+
+            sd = torch_interop.load_torch_checkpoint(ckpt_path, key="model_ema")
+            variables = jax.tree.map(
+                jnp.asarray,
+                torch_interop.state_dict_to_variables(dict(variables), sd),
+            )
+            print("Loaded reference checkpoint", ckpt_path)
+        else:
+            state = ckpt.load_checkpoint(ckpt_path)
+            variables = {
+                "params": state["params_ema"],
+                "buffers": state.get("buffers_g", {}),
+            }
+            print("Loaded checkpoint", ckpt_path)
+
+    lpips_model = LPIPS()
+    lpips_vars = lpips_model.init(
+        jax.random.key(1), jnp.zeros((1, args.resolution, args.resolution, 3)),
+        jnp.zeros((1, args.resolution, args.resolution, 3)),
+    )
+
+    n_steps = args.inv_steps or (10 if args.inv_gain_z >= 10 else 30)
+    checkpoint_steps = [0, n_steps] if not args.inv_encoder_only else [0]
+
+    inv_config = inv_mod.InversionConfig(
+        steps=n_steps,
+        lr_gain_z=args.inv_gain_z,
+        loss=args.inv_loss,
+        optimize_pose=not (
+            args.inv_no_optimize_pose or overrides.inv_no_optimize_pose
+        ),
+        camera_flipped=config_ds.camera_flipped,
+        is_ortho=config_ds.is_ortho,
+    )
+    render_config = RenderConfig(
+        resolution=args.resolution,
+        depth_samples_per_ray=64 if args.fine_sampling else 256,
+        fine_sampling=args.fine_sampling,
+        scene_range=config_ds.scene_range,
+        white_background=config_ds.white_background,
+        use_viewdir=args.use_viewdir,
+        query_chunk=args.query_chunk or None,
+    )
+
+    invert = jax.jit(
+        inv_mod.make_invert_fn(
+            inv_config, render_config, model, variables, lpips_model,
+            lpips_vars,
+        ),
+        static_argnames=("n_steps",),
+    )
+    eval_fn = jax.jit(
+        eval_mod.make_eval_fn(
+            inv_config, render_config, model, variables, lpips_model,
+            lpips_vars, has_mask=config_ds.has_mask,
+        )
+    )
+
+    # Average w init (reference: run.py:1852-1853).
+    z_avg = model.apply(
+        variables, jax.random.key(2), 10000, method="average_w"
+    )
+
+    eval_indices = compute_eval_indices(target_split)
+    eval_perm = compute_view_perm(
+        eval_indices,
+        config_ds.views_per_object_test or config_ds.views_per_object,
+    )
+    if args.max_num_samples:
+        eval_indices = eval_indices[: args.max_num_samples]
+        eval_perm = eval_perm[: len(eval_indices)]
+
+    report = eval_mod.InversionReport(checkpoint_steps)
+    bs = args.batch_size
+    key = jax.random.key(3)
+    t0 = time.time()
+
+    for start in range(0, len(eval_indices), bs):
+        idx = eval_indices[start : start + bs]
+        if len(idx) < bs:
+            break  # pad+mask in a later revision; reference drops to bs=1
+        sel = target_split.select(idx)
+        sel_perm = target_split.select(eval_perm[start : start + bs])
+        target_img = jnp.asarray(sel.images)
+        pose_gt = jnp.asarray(sel.tform_cam2world)
+        focal_gt = (
+            jnp.asarray(sel.focal_length)
+            if sel.focal_length is not None
+            else None
+        )
+
+        # Init: average w + ground-truth-frame pose params (PnP path needs
+        # the trained encoder; see eval drivers).
+        z0 = z_avg / inv_config.lr_gain_z
+        z0 = jnp.broadcast_to(z0, (bs,) + z0.shape[1:])
+        pose_params = inv_mod.pose_params_from_matrix(
+            pose_gt, focal_gt, config_ds.camera_flipped
+        )
+
+        recovered = {
+            "ws": np.asarray(z0 * inv_config.lr_gain_z),
+            "R": np.asarray(pose_params.q),
+            "s": np.asarray(pose_params.s),
+            "t2": np.asarray(pose_params.t2),
+        }
+        metrics0 = eval_fn(
+            z0, pose_params, target_img, pose_gt,
+            jnp.asarray(sel_perm.tform_cam2world),
+            jnp.asarray(sel_perm.focal_length)
+            if sel_perm.focal_length is not None else None,
+            jnp.asarray(sel_perm.images),
+        )
+        report.add(0, jax.device_get(metrics0), recovered)
+
+        if n_steps > 0:
+            key, k = jax.random.split(key)
+            z_f, pose_f, losses = invert(
+                z0, pose_params, target_img, k, n_steps=n_steps
+            )
+            metrics_n = eval_fn(
+                z_f, pose_f, target_img, pose_gt,
+                jnp.asarray(sel_perm.tform_cam2world),
+                jnp.asarray(sel_perm.focal_length)
+                if sel_perm.focal_length is not None else None,
+                jnp.asarray(sel_perm.images),
+            )
+            report.add(n_steps, jax.device_get(metrics_n), {
+                "ws": np.asarray(z_f * inv_config.lr_gain_z),
+                "R": np.asarray(pose_f.q),
+                "s": np.asarray(pose_f.s),
+                "t2": np.asarray(pose_f.t2),
+            })
+        done = start + bs
+        print(
+            f"[{done}/{len(eval_indices)}] "
+            f"{(time.time() - t0) / done:.3f} s/img"
+        )
+
+    report_dir = os.path.join(args.root_path, "reports",
+                              f"inv_{args.dataset}")
+    report.save(os.path.join(report_dir, "report"))
+    print(report.summary())
+    print("Report written to", report_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,9 @@ class RenderConfig:
     # the triplane corner gathers: activations inside a chunk are recomputed
     # in the backward pass instead of stored (jax.checkpoint).
     query_chunk: Optional[int] = 131072
+    # Pre-pack triplanes into corner-packed gather rows (ops/triplane):
+    # one gather per plane per point instead of four.
+    pack_planes: bool = True
 
 
 def prepare_rays(
@@ -114,7 +117,7 @@ def render_field(
         flat = points.reshape(B, -1, 3)
         n_points = flat.shape[1]
         chunk = config.query_chunk
-        if chunk is not None and n_points > chunk and n_points % chunk == 0:
+        if chunk and n_points > chunk and n_points % chunk == 0:
             n_chunks = n_points // chunk
             chunked = flat.reshape(B, n_chunks, chunk, 3).swapaxes(0, 1)
             out = jax.lax.map(
@@ -257,6 +260,12 @@ def render(
     planes = model.apply(
         variables, ws, noise_mode, key_noise, method="synthesize"
     )
+    if config.pack_planes:
+        from nerf_from_image_tpu.ops.triplane import pack_corners
+
+        field_planes = pack_corners(planes)
+    else:
+        field_planes = planes
     attention_values = None
     if model.attention_values > 0:
         if attention_values_override is not None:
@@ -275,7 +284,7 @@ def render(
         )
 
     field_fn = make_field_fn(
-        model, variables, planes, attention_values, viewdir_embedding
+        model, variables, field_planes, attention_values, viewdir_embedding
     )
     out, aux = render_field(
         config,

@@ -37,6 +37,11 @@ from nerf_from_image_tpu.models.layers import (
 )
 from nerf_from_image_tpu.models.stylegan import MappingNetwork, SynthesisNetwork
 from nerf_from_image_tpu.ops.grid_sample import grid_sample_2d
+from nerf_from_image_tpu.ops.triplane import (
+    pack_corners,
+    plane_coords,
+    sample_packed,
+)
 
 _INV_SQRT2 = math.sqrt(2.0) / 2.0
 
@@ -220,10 +225,18 @@ class TriplanarDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, planes, coords):
-        # coords: [B, N, 3] normalized to [-1, 1].
-        e1 = grid_sample_2d(planes[:, 0], coords[..., jnp.array([0, 1])])
-        e2 = grid_sample_2d(planes[:, 1], coords[..., jnp.array([0, 2])])
-        e3 = grid_sample_2d(planes[:, 2], coords[..., jnp.array([1, 2])])
+        # coords: [B, N, 3] normalized to [-1, 1]. planes either raw
+        # [B, 3, H, W, C] or corner-packed [B, 3, H, W, 4C]
+        # (ops/triplane.pack_corners — one gather per plane per point).
+        c_xy, c_xz, c_yz = plane_coords(coords)
+        if planes.shape[-1] == 4 * self.num_input_features:
+            e1 = sample_packed(planes[:, 0], c_xy)
+            e2 = sample_packed(planes[:, 1], c_xz)
+            e3 = sample_packed(planes[:, 2], c_yz)
+        else:
+            e1 = grid_sample_2d(planes[:, 0], c_xy)
+            e2 = grid_sample_2d(planes[:, 1], c_xz)
+            e3 = grid_sample_2d(planes[:, 2], c_yz)
         x = (e1 + e2 + e3) / 3.0
         x = EqualizedLinear(
             self.num_input_features, self.hidden_dim, name="net_0"

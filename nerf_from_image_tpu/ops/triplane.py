@@ -1,0 +1,78 @@
+"""Fast triplane bilinear sampling via corner-packed gather rows.
+
+TPU gather throughput is bound by gathered ROW COUNT, not bytes (measured
+on v5e: ~300M rows/s whether rows are 128B or 512B). The naive bilinear
+sampler issues 4 corner gathers per plane per point (12 per field query).
+Here each plane is pre-packed once per render into a [H, W, 4C] table whose
+row at (y, x) holds the 2x2 corner neighborhood [(y,x), (y,x+1), (y+1,x),
+(y+1,x+1)] — one gather per plane per point (3 per query), a 4x reduction
+in gather rows, then the bilinear weights reduce the 4 packed corners on
+the VPU.
+
+Border semantics match grid_sample(padding_mode='border',
+align_corners=True): coordinates are clamped to [0, W-1] before flooring
+and the base cell to W-2, which yields identical values everywhere and
+identical gradients almost everywhere (the clamp's zero-gradient region
+coincides with the reference's constant-value region).
+
+Packing is differentiable (shift-concat; its VJP is shift-add), so plane
+gradients flow through the packed table automatically.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pack_corners(plane: jnp.ndarray) -> jnp.ndarray:
+    """[..., H, W, C] -> [..., H, W, 4C] corner-packed table (edge-clamped)."""
+    right = jnp.concatenate((plane[..., :, 1:, :], plane[..., :, -1:, :]),
+                            axis=-2)
+    down = jnp.concatenate((plane[..., 1:, :, :], plane[..., -1:, :, :]),
+                           axis=-3)
+    down_right = jnp.concatenate((down[..., :, 1:, :], down[..., :, -1:, :]),
+                                 axis=-2)
+    return jnp.concatenate((plane, right, down, down_right), axis=-1)
+
+
+def sample_packed(packed: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinearly samples a corner-packed table.
+
+    Args:
+      packed: [B, H, W, 4C] from pack_corners.
+      coords: [B, N, 2] in [-1, 1]; coords[..., 0] indexes W (x).
+
+    Returns:
+      [B, N, C].
+    """
+    B, H, W, C4 = packed.shape
+    C = C4 // 4
+    ix = jnp.clip((coords[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
+    iy = jnp.clip((coords[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1.0)
+    x0f = jnp.minimum(jnp.floor(ix), W - 2)
+    y0f = jnp.minimum(jnp.floor(iy), H - 2)
+    wx1 = ix - x0f
+    wy1 = iy - y0f
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    flat = packed.reshape(B * H * W, C4)
+    batch_offset = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
+    idx = (y0 * W + x0 + batch_offset).reshape(-1)
+    rows = jnp.take(flat, idx, axis=0).reshape(B, -1, 4, C)
+
+    w = jnp.stack((wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1), axis=-1)
+    return jnp.einsum("bnkc,bnk->bnc", rows, w)
+
+
+def plane_coords(coords3: jnp.ndarray):
+    """[..., 3] normalized points -> the three plane coordinate pairs
+    (xy, xz, yz) without gather-producing fancy indexing."""
+    x, y, z = coords3[..., 0], coords3[..., 1], coords3[..., 2]
+    return (
+        jnp.stack((x, y), axis=-1),
+        jnp.stack((x, z), axis=-1),
+        jnp.stack((y, z), axis=-1),
+    )

@@ -1,0 +1,213 @@
+"""GAN training driver (the reference's `python run.py --dataset X` path).
+
+Builds the data-parallel mesh, loads the dataset into host RAM, runs SDF
+pretraining, then alternates jit-compiled G/D steps with periodic evaluation
+and orbax checkpoints. See nerf_from_image_tpu/arguments.py for flags.
+
+Example (smoke): python train.py --dataset synthetic --batch_size 8 \
+    --resolution 32 --iterations 20 --max_images 32
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import optax
+
+    from nerf_from_image_tpu import arguments
+    from nerf_from_image_tpu.data.loaders import get_train_overrides, load_dataset
+    from nerf_from_image_tpu.data.splits import EndlessSampler
+    from nerf_from_image_tpu.engine import gan
+    from nerf_from_image_tpu.engine.render import RenderConfig
+    from nerf_from_image_tpu.models.discriminator import Discriminator
+    from nerf_from_image_tpu.models.generator import Generator
+    from nerf_from_image_tpu.parallel import mesh as mesh_mod
+    from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+    args = arguments.parse_args()
+    assert args.dataset != "autodetect", "--dataset required for training"
+    overrides = get_train_overrides(args.dataset)
+    if args.augment_p == 0:
+        args.augment_p = overrides.augment_p
+        args.augment_ada = args.augment_ada or overrides.augment_ada
+    args.supervise_alpha = args.supervise_alpha or overrides.supervise_alpha
+    args.use_viewdir = args.use_viewdir or overrides.use_viewdir
+    if args.iterations == 300000:
+        args.iterations = overrides.iterations
+
+    experiment_name = arguments.suggest_experiment_name(args)
+    print("Experiment:", experiment_name)
+    checkpoint_dir = os.path.join(args.root_path, "gan_checkpoints",
+                                  experiment_name)
+
+    config_ds, train_split, train_eval_split, _ = load_dataset(
+        args.dataset,
+        args.data_path,
+        resolution=args.resolution,
+        augment_p=args.augment_p,
+        max_images=args.max_images,
+    )
+
+    n_chips = args.chips or jax.device_count()
+    mesh = mesh_mod.make_mesh(n_data=n_chips,
+                              devices=jax.devices()[:n_chips])
+    print(f"Mesh: {n_chips} chips, dataset {len(train_split)} images")
+
+    model = Generator(
+        latent_dim=args.latent_dim,
+        scene_range=config_ds.scene_range,
+        attention_values=args.attention_values,
+        use_viewdir=args.use_viewdir,
+        use_encoder=args.use_encoder,
+        use_sdf=args.use_sdf,
+        num_classes=train_split.num_classes if args.use_class else None,
+    )
+    disc = Discriminator(
+        resolution=args.resolution,
+        nc=4 if args.supervise_alpha else 3,
+        camera_flipped=config_ds.camera_flipped,
+        conditional_pose=args.conditional_pose,
+    )
+    config = gan.GANTrainConfig(
+        batch_size=args.batch_size,
+        latent_dim=args.latent_dim,
+        lr_g=args.lr_g,
+        lr_d=args.lr_d,
+        clip_gradient_norm=args.clip_gradient_norm,
+        r1=args.r1,
+        eikonal=args.eikonal,
+        tv=args.tv,
+        entropy=args.entropy,
+        path_length_regularization=args.path_length_regularization,
+        supervise_alpha=args.supervise_alpha,
+        conditional_pose=args.conditional_pose,
+        white_background=config_ds.white_background,
+        camera_flipped=config_ds.camera_flipped,
+        is_highres=config_ds.is_highres,
+        augment_p=args.augment_p,
+        augment_ada=args.augment_ada,
+        ada_target=args.ada_target,
+        noise_mode="none" if args.disable_stylegan_noise else "random",
+        use_sdf=args.use_sdf,
+    )
+    render_config = RenderConfig(
+        resolution=args.resolution,
+        depth_samples_per_ray=64 if args.fine_sampling else 128,
+        fine_sampling=args.fine_sampling,
+        scene_range=config_ds.scene_range,
+        white_background=config_ds.white_background,
+        use_viewdir=args.use_viewdir,
+        query_chunk=args.query_chunk,
+    )
+
+    key = jax.random.key(1234)
+    key, k_init = jax.random.split(key)
+    state = gan.init_gan_state(config, model, disc, k_init, render_config)
+
+    start_iter = 0
+    latest = ckpt.latest_checkpoint(checkpoint_dir)
+    if latest is not None:
+        print("Resuming from", latest)
+        state = ckpt.load_checkpoint(latest, template=state)
+        start_iter = int(state.iteration)
+
+    state = mesh_mod.replicate(mesh, state)
+
+    rng = np.random.RandomState(1234)
+    sampler = EndlessSampler(len(train_split), rng)
+
+    def host_batch(with_images: bool):
+        idx = sampler(args.batch_size)
+        sel = train_split.select(idx)
+        batch = {"pose": jnp.asarray(sel.tform_cam2world)}
+        if sel.focal_length is not None:
+            batch["focal"] = jnp.asarray(sel.focal_length)
+        if sel.center is not None:
+            batch["center"] = jnp.asarray(sel.center)
+        if with_images:
+            nc = 4 if args.supervise_alpha else 3
+            batch["images"] = jnp.asarray(sel.images[..., :nc])
+            if sel.images_highres is not None:
+                batch["images_highres"] = jnp.asarray(
+                    sel.images_highres[..., :nc]
+                )
+        return mesh_mod.shard_batch(mesh, batch)
+
+    # SDF pretraining (reference: run.py:821-869).
+    if args.use_sdf and start_iter == 0:
+        print("SDF pretraining...")
+        pretrain_opt = optax.adam(args.lr_g)
+        pre_state = pretrain_opt.init(state.params_g)
+        pre_step = jax.jit(
+            lambda p, o, k: gan.sdf_pretrain_step(
+                config, model, p, o, pretrain_opt, k, buffers=state.buffers_g
+            )
+        )
+        params_g = state.params_g
+        for i in range(1000):
+            key, k = jax.random.split(key)
+            params_g, pre_state, loss = pre_step(params_g, pre_state, k)
+            if i % 100 == 0:
+                print(f"  [{i}] sdf pretrain loss {float(loss):.4f}")
+        state = state._replace(params_g=params_g, params_ema=params_g)
+        print("SDF pretraining done.")
+
+    g_step = jax.jit(
+        lambda s, b, k: gan.g_step(config, render_config, model, disc, s, b, k)
+    )
+    d_step = jax.jit(
+        lambda s, rb, fb, k: gan.d_step(
+            config, render_config, model, disc, s, rb, fb, k
+        )
+    )
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(
+            os.path.join(args.root_path, "gan_logs", experiment_name)
+        )
+    except ImportError:
+        pass
+
+    t_start = time.time()
+    display_every = 5000
+    with jax.sharding.set_mesh(mesh):
+        for i in range(start_iter, args.iterations):
+            key, k = jax.random.split(key)
+            if i % 2 == 0:
+                state, metrics = g_step(state, host_batch(False), k)
+            else:
+                state, metrics = d_step(
+                    state, host_batch(True), host_batch(False), k
+                )
+            if i == 3 or (i + 1) % display_every == 0:
+                m = {k_: float(v) for k_, v in metrics.items()}
+                imps = args.batch_size * (i + 1 - start_iter) / (
+                    time.time() - t_start
+                )
+                print(f"[{i}] im/s {imps:.2f}", m)
+                if writer is not None:
+                    for k_, v in m.items():
+                        writer.add_scalar(f"loss/{k_}", v, i)
+                    writer.add_scalar("img_per_sec", imps, i)
+            if (i + 1) % 50000 == 0 or i + 1 == args.iterations:
+                path = os.path.join(checkpoint_dir, f"checkpoint_{i + 1}")
+                ckpt.save_checkpoint(path, state)
+                print("Saved checkpoint", path)
+
+    print("Training complete.")
+
+
+if __name__ == "__main__":
+    main()
