@@ -1,0 +1,336 @@
+"""Driving-dataset vehicle inversion evaluation (nuScenes / KITTI / Waymo).
+
+Re-design of the reference per-object evaluation scripts (reference:
+eval_nusc_persp.py / eval_kitti_persp.py / eval_waymo_persp.py — near-clones
+of each other; here one driver covers all three): for each annotated
+vehicle, run the bootstrap encoder for a NOCS first guess, solve the pose
+with known-intrinsics PnP (or use GT / external SUP-NeRF poses), refine
+(w, R, s, t) — never focal — by 50 jit-compiled Adam steps through the
+renderer, and report masked PSNR / SSIM / LPIPS / LiDAR z-buffer depth
+error / rotation / translation errors at checkpoints {0, 20, 50}, plus
+cross-view metrics from another annotation of the same instance.
+
+Usage:
+  python eval_driving.py --dataset nusc --resume_from <gan_checkpoint> \
+      --coord_resume_from <encoder_checkpoint> --nusc_data_dir ...
+"""
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+P3D_SCENE_RANGE = 1.4  # The encoder is trained on p3d_car.
+
+
+def build_dataset(args):
+    if args.dataset == "nusc":
+        from nerf_from_image_tpu.data.nusc_lite import NuScenesDrivingDataset
+
+        return NuScenesDrivingDataset(
+            args.nusc_data_dir, args.nusc_version, img_size=args.resolution,
+            white_bkgd=True,
+        )
+    if args.dataset == "kitti":
+        from nerf_from_image_tpu.data.driving import KittiDrivingDataset
+
+        return KittiDrivingDataset(
+            args.kitti_data_dir, img_size=args.resolution, white_bkgd=True,
+        )
+    if args.dataset == "waymo":
+        from nerf_from_image_tpu.data.driving import KittiDrivingDataset
+
+        return KittiDrivingDataset(
+            args.waymo_data_dir, img_size=args.resolution, white_bkgd=True,
+            split="validation", is_waymo=True,
+        )
+    raise ValueError(args.dataset)
+
+
+def cam_pose_to_render_frame(cam_pose_34, camera_flipped=True):
+    """[3, 4] camera-in-object pose -> render-frame cam2world (reference:
+    eval_nusc_persp.py:1129-1139: nusc2shapenet remap + y/z flip)."""
+    from nerf_from_image_tpu.data.driving import NUSC2SHAPENET
+
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :] = cam_pose_34
+    m = NUSC2SHAPENET @ m
+    if camera_flipped:
+        m[:3, 1:3] *= -1
+    return m
+
+
+def main():
+    from nerf_from_image_tpu import arguments
+    from nerf_from_image_tpu.data.configs import get_dataset_config
+    from nerf_from_image_tpu.engine import evaluate as eval_mod
+    from nerf_from_image_tpu.engine import inversion as inv_mod
+    from nerf_from_image_tpu.engine.render import RenderConfig, render
+    from nerf_from_image_tpu.metrics import image as image_metrics
+    from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+    from nerf_from_image_tpu.models.generator import Generator
+    from nerf_from_image_tpu.models.lpips import LPIPS
+    from nerf_from_image_tpu.pose import pnp
+    from nerf_from_image_tpu.pose.pose import (
+        invert_space,
+        rotation_matrix_distance,
+    )
+    from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+    args = arguments.parse_args()
+    assert args.dataset in ("nusc", "kitti", "waymo")
+    config_ds = get_dataset_config(args.dataset)
+    dataset = build_dataset(args)
+    print(f"{len(dataset)} objects in {args.dataset} eval")
+
+    model = Generator(
+        latent_dim=args.latent_dim,
+        scene_range=config_ds.scene_range,
+        attention_values=args.attention_values,
+        use_sdf=args.use_sdf,
+    )
+    variables = jax.jit(lambda k: model.init(k, method="init_all"))(
+        jax.random.key(0)
+    )
+    if args.resume_from:
+        if args.resume_from.endswith(".pth"):
+            from nerf_from_image_tpu.utils import torch_interop
+
+            sd = torch_interop.load_torch_checkpoint(
+                args.resume_from, key="model_ema"
+            )
+            variables = jax.tree.map(
+                jnp.asarray,
+                torch_interop.state_dict_to_variables(dict(variables), sd),
+            )
+        else:
+            state = ckpt.load_checkpoint(args.resume_from)
+            variables = {
+                "params": state["params_ema"],
+                "buffers": state.get("buffers_g", {}),
+            }
+        print("Loaded generator from", args.resume_from)
+
+    encoder = BootstrapEncoder(latent_dim=args.latent_dim)
+    enc_vars = None
+    if args.coord_resume_from:
+        if args.coord_resume_from.endswith(".pth"):
+            from nerf_from_image_tpu.models.encoder import encoder_rename
+            from nerf_from_image_tpu.utils import torch_interop
+
+            enc_init = encoder.init(
+                jax.random.key(1),
+                jnp.zeros((1, args.resolution, args.resolution, 3)),
+            )
+            sd = torch_interop.load_torch_checkpoint(
+                args.coord_resume_from, key="model_coord"
+            )
+            sd = {k.replace("module.", ""): v for k, v in sd.items()}
+            enc_vars = jax.tree.map(
+                jnp.asarray,
+                torch_interop.state_dict_to_variables(
+                    dict(enc_init), sd, rename=encoder_rename
+                ),
+            )
+        else:
+            enc_vars = ckpt.load_checkpoint(args.coord_resume_from)
+        print("Loaded encoder from", args.coord_resume_from)
+    encoder_fwd = jax.jit(
+        lambda v, x: encoder.apply(v, x, deterministic=True)
+    )
+
+    lpips_model = LPIPS()
+    lpips_vars = lpips_model.init(
+        jax.random.key(2),
+        jnp.zeros((1, args.resolution, args.resolution, 3)),
+        jnp.zeros((1, args.resolution, args.resolution, 3)),
+    )
+
+    checkpoint_steps = [0, 20, 50]
+    if args.inv_steps:
+        checkpoint_steps = [0, args.inv_steps]
+    niter = max(checkpoint_steps)
+
+    inv_config = inv_mod.InversionConfig(
+        steps=niter,
+        lr_gain_z=args.inv_gain_z,
+        loss=args.inv_loss,
+        optimize_pose=not args.no_optimize_pose,
+        camera_flipped=config_ds.camera_flipped,
+    )
+    render_config = RenderConfig(
+        resolution=args.resolution,
+        depth_samples_per_ray=64,
+        fine_sampling=True,
+        scene_range=config_ds.scene_range,
+        white_background=config_ds.white_background,
+        query_chunk=args.query_chunk or None,
+        zbuffer_depth=True,
+    )
+
+    invert = jax.jit(
+        inv_mod.make_invert_fn(
+            inv_config, render_config, model, variables, lpips_model,
+            lpips_vars,
+        ),
+        static_argnames=("n_steps",),
+    )
+
+    @jax.jit
+    def render_for_eval(z, pose_params, center):
+        cam, focal = inv_mod.build_camera(pose_params, config_ds.camera_flipped)
+        out, _ = render(
+            render_config, model, variables, cam, focal,
+            z * inv_config.lr_gain_z, center=center, force_no_cam_grad=True,
+        )
+        return out, cam
+
+    z_avg = model.apply(variables, jax.random.key(3), 10000,
+                        method="average_w")
+
+    report = eval_mod.InversionReport(checkpoint_steps)
+    rng = random.Random(543)
+    n_objects = min(len(dataset), args.max_num_samples or len(dataset))
+    t0 = time.time()
+
+    for idx in range(n_objects):
+        sample = dataset[idx]
+        target_img = jnp.asarray(sample["img"])[None]
+        target_mask_input = jnp.asarray(sample["mask"])[None]
+        K = sample["K"]
+        target_focal = jnp.asarray([K[0, 0]])
+        target_center = jnp.asarray(K[None, :2, 2]) + 0.5
+        gt_cam2world = jnp.asarray(
+            cam_pose_to_render_frame(
+                sample["cam_pose"], config_ds.camera_flipped
+            )
+        )[None]
+        gt_depth = jnp.asarray(sample["depth"])[None]
+        gt_depth_mask = gt_depth > 0
+
+        # Encoder first guess: grey-background input, p3d scene scale.
+        enc_img = target_img[..., :3]
+        if config_ds.white_background:
+            enc_img = enc_img + (target_mask_input[..., None] - 1.0) * 0.5
+        if enc_vars is not None:
+            coords, mask_pred, w_pred = encoder_fwd(enc_vars, enc_img)
+            coords = coords * (config_ds.scene_range / P3D_SCENE_RANGE)
+            z_ = w_pred
+        else:
+            coords = mask_pred = None
+            z_ = z_avg[None] if z_avg.ndim == 2 else z_avg
+
+        if args.init_pose_type == "gt" or coords is None:
+            init_cam2world = gt_cam2world
+        else:
+            w2c, err = pnp.compute_pose_pnp_known_k(
+                coords, mask_pred, jnp.asarray(K)[None]
+            )
+            init_cam2world = invert_space(w2c)
+
+        z_ = jnp.reshape(z_, (1, 1, -1)) / inv_config.lr_gain_z
+        pose_params = inv_mod.pose_params_from_matrix(
+            init_cam2world, target_focal, config_ds.camera_flipped
+        )
+
+        # Cross-view target: another annotation of the same instance.
+        perm_pose_params = None
+        perm_img = None
+        if args.dataset == "nusc" and "instoken" in sample:
+            samples_of_ins = dataset.anntokens_per_ins[sample["instoken"]]
+            if len(samples_of_ins) > 1:
+                order = list(range(len(samples_of_ins)))
+                rng.shuffle(order)
+                for ind in order:
+                    tok, cam_id = samples_of_ins[ind]
+                    if tok != sample["anntoken"] or cam_id != sample["cam"]:
+                        j = dataset.all_valid_samples.index([tok, cam_id])
+                        perm_sample = dataset[j]
+                        perm_img = jnp.asarray(perm_sample["img"])[None]
+                        perm_pose_params = inv_mod.pose_params_from_matrix(
+                            jnp.asarray(
+                                cam_pose_to_render_frame(
+                                    perm_sample["cam_pose"],
+                                    config_ds.camera_flipped,
+                                )
+                            )[None],
+                            jnp.asarray([perm_sample["K"][0, 0]]),
+                            config_ds.camera_flipped,
+                        )
+                        break
+
+        def evaluate_at(step, z_cur, pose_cur):
+            out, cam = render_for_eval(z_cur, pose_cur, target_center)
+            pred = jnp.clip(out.rgb[..., :3], -1, 1)
+            target = target_img[..., :3]
+            psnr_mask = target_mask_input
+            m = {
+                "psnr": image_metrics.psnr(
+                    pred / 2 + 0.5, target / 2 + 0.5, reduction="none",
+                    mask=psnr_mask,
+                )[None],
+                "ssim": image_metrics.ssim(
+                    pred / 2 + 0.5, target / 2 + 0.5, reduction="none"
+                ),
+                "lpips": lpips_model.apply(lpips_vars, pred, target).reshape(-1),
+                "rot_error": rotation_matrix_distance(cam, gt_cam2world),
+                "trans_error": jnp.sqrt(
+                    jnp.sum(
+                        jnp.square(
+                            invert_space(cam)[:, :3, 3]
+                            - invert_space(gt_cam2world)[:, :3, 3]
+                        )
+                    )
+                )[None],
+            }
+            valid = jnp.logical_and(gt_depth_mask, target_mask_input > 0.5)
+            depth_err = jnp.sum(
+                jnp.abs(gt_depth - out.depth) * valid
+            ) / jnp.maximum(jnp.sum(valid), 1)
+            m["depth_error"] = depth_err[None]
+            if perm_img is not None:
+                out_p, _ = render_for_eval(z_cur, perm_pose_params,
+                                           target_center)
+                pred_p = jnp.clip(out_p.rgb[..., :3], -1, 1)
+                m["psnr_cross"] = image_metrics.psnr(
+                    pred_p / 2 + 0.5, perm_img[..., :3] / 2 + 0.5,
+                    reduction="none",
+                )
+            report.add(step, jax.device_get(m))
+
+        evaluate_at(0, z_, pose_params)
+        key = jax.random.key(idx)
+        z_cur, pose_cur = z_, pose_params
+        done = 0
+        for step in checkpoint_steps[1:]:
+            key, k = jax.random.split(key)
+            z_cur, pose_cur, _ = invert(
+                z_cur, pose_cur, target_img, k, n_steps=step - done
+            )
+            done = step
+            evaluate_at(step, z_cur, pose_cur)
+
+        if (idx + 1) % 20 == 0 or idx + 1 == n_objects:
+            elapsed = (time.time() - t0) / (idx + 1)
+            print(f"[{idx + 1}/{n_objects}] {elapsed:.2f} s/obj")
+            out_dir = os.path.join(args.root_path, "reports",
+                                   f"eval_{args.dataset}")
+            report.save(os.path.join(out_dir, "report_checkpoint"))
+
+    out_dir = os.path.join(args.root_path, "reports", f"eval_{args.dataset}")
+    report.save(os.path.join(out_dir, "report"))
+    print(report.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,7 @@ def parse_args(argv=None):
     parser.add_argument("--dtype", type=str, default="float32",
                         help="Compute dtype: float32 | bfloat16")
     parser.add_argument("--query_chunk", type=int, default=131072)
+    parser.add_argument("--sdf_pretrain_steps", type=int, default=1000)
     parser.add_argument("--max_images", type=int, default=None,
                         help="Cap loaded dataset size (debug)")
 

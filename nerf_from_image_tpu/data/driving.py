@@ -279,9 +279,9 @@ class KittiDrivingDataset:
         self.white_bkgd = white_bkgd
         self.is_waymo = is_waymo
         if index_file is None:
-            index_file = (
-                "data/waymo.val_small.Car.json" if is_waymo
-                else "data/kitti.val.Car.json"
+            name = "waymo.val_small.Car.json" if is_waymo else "kitti.val.Car.json"
+            index_file = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "index", name
             )
         with open(index_file) as f:
             subset = json.load(f)

@@ -45,6 +45,9 @@ class RenderConfig:
     # Pre-pack triplanes into corner-packed gather rows (ops/triplane):
     # one gather per plane per point instead of four.
     pack_planes: bool = True
+    # Convert the ray-distance depth map to z-buffer depth (driving evals;
+    # reference: eval_nusc_persp.py:221-229).
+    zbuffer_depth: bool = False
 
 
 def prepare_rays(
@@ -296,6 +299,15 @@ def render(
         key=key_render,
         force_no_cam_grad=force_no_cam_grad,
     )
+    if config.zbuffer_depth:
+        from nerf_from_image_tpu.pose.pose import invert_space
+
+        w2c = invert_space(tform_cam2world)
+        view_dirs = jnp.sum(
+            ray_directions[..., None, :] * w2c[:, None, None, :3, :3], axis=-1
+        )
+        zdepth = -(view_dirs[..., -1] * out.depth)
+        out = out._replace(depth=zdepth)
     aux["ws"] = ws
     aux["planes"] = planes
     if attention_values is not None:

@@ -227,6 +227,57 @@ def compute_pose_pnp(
     return jax.vmap(per_sample)(pts, uv_pix, w)
 
 
+def compute_pose_pnp_known_k(
+    coords: jnp.ndarray,
+    masks: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """PnP with known per-sample intrinsics (driving evals; reference:
+    lib/pose_estimation.py:134-235 compute_pose_pnp_new).
+
+    Args:
+      coords: [B, H, W, 3]; masks: [B, H, W] in [0, 1] (threshold 0.9);
+      intrinsics: [B, 3, 3] normalized to the crop (focal + principal point
+        in the (i/W - 0.5, j/H - 0.5) screen units).
+    Returns:
+      (world2cam [B, 4, 4] flipped-camera convention, err [B]).
+    """
+    B, H, W, _ = coords.shape
+    ii = jnp.arange(W, dtype=coords.dtype)[None, :] / W
+    jj = jnp.arange(H, dtype=coords.dtype)[:, None] / H
+    gx = jnp.broadcast_to(ii, (H, W)) - 0.5
+    gy = jnp.broadcast_to(jj, (H, W)) - 0.5
+    uv_pix = jnp.stack((gx, gy), -1).reshape(1, -1, 2)
+    uv_pix = jnp.broadcast_to(uv_pix, (B, H * W, 2))
+    pts = coords.reshape(B, -1, 3)
+    w = (masks.reshape(B, -1) > 0.9).astype(coords.dtype)
+
+    def per_sample(pts_i, uv_i, w_i, K):
+        fx, fy = K[0, 0], K[1, 1]
+        cx, cy = K[0, 2], K[1, 2]
+        uv_norm = jnp.stack(
+            ((uv_i[:, 0] - cx) / fx, (uv_i[:, 1] - cy) / fy), -1
+        )
+        R_raw, t = _dlt_pose(pts_i, uv_norm, w_i)
+        R = polar_orthogonalize(R_raw)
+        R, t = _gauss_newton_refine(R, t, pts_i, uv_norm, w_i)
+        err = _mean_reproj_error(R, t, pts_i, uv_norm, w_i, fx)
+
+        ok = (t[2] > 0) & (jnp.sum(w_i) >= 4)
+        R_dummy = jnp.eye(3, dtype=pts_i.dtype)
+        t_dummy = jnp.asarray([0.0, 0.0, -10.0], pts_i.dtype)
+        R_out = jnp.where(ok, R, R_dummy)
+        t_out = jnp.where(ok, t, t_dummy)
+        e_out = jnp.where(ok, err, 10.0)
+        m = jnp.eye(4, dtype=pts_i.dtype)
+        m = m.at[:3, :3].set(R_out)
+        m = m.at[:3, 3].set(t_out)
+        flip = jnp.diag(jnp.asarray([1.0, -1.0, -1.0, 1.0], pts_i.dtype))
+        return flip @ m, e_out
+
+    return jax.vmap(per_sample)(pts, uv_pix, w, intrinsics)
+
+
 def estimate_poses_batch(
     coords: jnp.ndarray,
     masks: jnp.ndarray,

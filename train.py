@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # The environment may pin the axon TPU plugin via sitecustomize; honor
+    # an explicit CPU request (tests / debugging).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
@@ -153,7 +159,7 @@ def main():
             )
         )
         params_g = state.params_g
-        for i in range(1000):
+        for i in range(args.sdf_pretrain_steps):
             key, k = jax.random.split(key)
             params_g, pre_state, loss = pre_step(params_g, pre_state, k)
             if i % 100 == 0:
