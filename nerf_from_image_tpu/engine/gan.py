@@ -59,6 +59,17 @@ class GANTrainConfig:
     ada_rampup: float = 500000.0
     noise_mode: str = "none"  # 'none' (disable_stylegan_noise) or 'random'
     use_sdf: bool = True
+    # Conditional / dual-discriminator modes (reference: run.py:959-1055,
+    # arguments.py dual_discriminator*): in encoder mode the generator is
+    # conditioned on an input image; the optional second discriminator is
+    # unconditional and sees a render from an independently drawn pose; the
+    # l1/mse variants replace the conditional discriminator with a pixel
+    # loss against the (blur-warmed) conditioning image.
+    use_encoder: bool = False
+    use_class: bool = False
+    dual_discriminator: bool = False
+    dual_l1: bool = False
+    dual_mse: bool = False
 
 
 class GANState(NamedTuple):
@@ -71,6 +82,8 @@ class GANState(NamedTuple):
     iteration: jnp.ndarray  # scalar int32
     ppl_running_avg: jnp.ndarray  # scalar; <0 means "not yet initialized"
     augment_p_eff: jnp.ndarray  # scalar
+    params_d2: Any = None  # second (unconditional) discriminator, dual mode
+    opt_d2: Any = None
 
 
 def softplus_gan_loss(logits: jnp.ndarray, target_positive: bool) -> jnp.ndarray:
@@ -109,29 +122,47 @@ def init_gan_state(
     disc,
     key,
     render_config: RenderConfig,
+    disc2=None,
 ) -> GANState:
-    kg, kd = jax.random.split(key)
+    kg, kd, kd2 = jax.random.split(key, 3)
     variables = model.init(kg, method="init_all")
     params_g = variables["params"]
     buffers_g = variables.get("buffers", {})
     nc = 4 if config.supervise_alpha else 3
-    dummy_img = jnp.zeros((2, render_config.resolution,
-                           render_config.resolution, nc))
+    res = render_config.resolution
+    dummy_img = jnp.zeros((2, res, res, nc))
     dummy_pose = jnp.broadcast_to(jnp.eye(4), (2, 4, 4))
     dummy_focal = jnp.ones((2,))
-    params_d = disc.init(kd, dummy_img, dummy_pose, None, dummy_focal)["params"]
+    dummy_cond = jnp.zeros((2, res, res, 3)) if config.use_encoder else None
+    dummy_label = jnp.zeros((2,), jnp.int32) if config.use_class else None
 
     tx_g, tx_d = make_optimizers(config)
+    params_d = opt_d = None
+    if not (config.dual_l1 or config.dual_mse):
+        params_d = disc.init(
+            kd, dummy_img, dummy_pose, dummy_cond, dummy_focal, dummy_label
+        )["params"]
+        opt_d = tx_d.init(params_d)
+
+    params_d2 = opt_d2 = None
+    if config.dual_discriminator:
+        params_d2 = (disc2 or disc).init(
+            kd2, dummy_img, dummy_pose, None, dummy_focal
+        )["params"]
+        opt_d2 = tx_d.init(params_d2)
+
     return GANState(
         params_g=params_g,
         buffers_g=buffers_g,
         params_d=params_d,
         params_ema=params_g,
         opt_g=tx_g.init(params_g),
-        opt_d=tx_d.init(params_d),
+        opt_d=opt_d,
         iteration=jnp.zeros((), jnp.int32),
         ppl_running_avg=-jnp.ones(()),
         augment_p_eff=jnp.zeros(()),
+        params_d2=params_d2,
+        opt_d2=opt_d2,
     )
 
 
@@ -181,19 +212,38 @@ def g_step(
     state: GANState,
     batch: Dict[str, jnp.ndarray],
     key,
+    disc2=None,
+    batch2: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[GANState, Dict[str, jnp.ndarray]]:
     """Generator step (even iterations; reference run.py:954-1073).
 
     batch: {'pose' [B,4,4], 'focal' [B] or None, 'center', 'bbox'} — raw
     (un-augmented) camera draws; pose augmentation happens in-graph.
+    Encoder mode additionally carries 'images' (conditioning) / 'classes';
+    dual mode takes a second independent camera draw in `batch2`.
     """
-    k_aug, k_z, k_render, k_reg, k_ppl = jax.random.split(key, 5)
+    k_aug, k_z, k_render, k_reg, k_ppl, k_aug2, k_render2 = jax.random.split(
+        key, 7
+    )
     pose, focal = batch["pose"], batch.get("focal")
     if config.augment_p > 0:
         _, pose, focal, _ = augment_mod.augment(
             k_aug, None, pose, focal, state.augment_p_eff,
             config.white_background,
         )
+    cond_image = batch.get("images") if config.use_encoder else None
+    cond_image_rgb = cond_image[..., :3] if cond_image is not None else None
+    labels = batch.get("classes") if config.use_class else None
+
+    pose2 = focal2 = None
+    if config.dual_discriminator:
+        assert batch2 is not None
+        pose2, focal2 = batch2["pose"], batch2.get("focal")
+        if config.augment_p > 0:
+            _, pose2, focal2, _ = augment_mod.augment(
+                k_aug2, None, pose2, focal2, state.augment_p_eff,
+                config.white_background,
+            )
 
     z = jax.random.normal(k_z, (pose.shape[0], config.latent_dim))
 
@@ -212,13 +262,42 @@ def g_step(
             bbox=batch.get("bbox"),
             key=k_render,
             noise_mode=config.noise_mode,
+            label=labels,
+            image=cond_image_rgb,
         )
         img = _disc_input(out, config)
-        logits = disc.apply(
-            {"params": state.params_d}, img, pose, None, focal
-        )
-        loss = softplus_gan_loss(logits, True)
+        if config.dual_l1 or config.dual_mse:
+            # Conditional branch as pixel loss vs the (blurred) input image
+            # (reference: run.py:994-1001).
+            sigma = _blur_sigma(state.iteration, config)
+            target = filters.blur_dynamic(
+                cond_image_rgb, sigma, config.white_background
+            )
+            pix = jnp.square if config.dual_mse else jnp.abs
+            loss = jnp.mean(pix(img[..., :3] - target)) * 10.0
+        else:
+            logits = disc.apply(
+                {"params": state.params_d}, img, pose, cond_image_rgb, focal,
+                labels,
+            )
+            loss = softplus_gan_loss(logits, True)
         metrics = {"loss_g": loss}
+
+        if config.dual_discriminator:
+            loss = loss / 2.0
+            out2, _ = render(
+                render_config, model, variables, pose2, focal2, z,
+                center=batch2.get("center"), bbox=batch2.get("bbox"),
+                key=k_render2, noise_mode=config.noise_mode,
+                label=labels, image=cond_image_rgb,
+            )
+            img2 = _disc_input(out2, config)
+            logits2 = (disc2 or disc).apply(
+                {"params": state.params_d2}, img2, pose2, None, focal2
+            )
+            loss2 = softplus_gan_loss(logits2, True)
+            metrics["loss_g_uncond"] = loss2
+            loss = loss + loss2 / 2.0
 
         regs = regularizers.volume_regularizers(
             model,
@@ -284,46 +363,34 @@ def g_step(
     )
 
 
-def d_step(
-    config: GANTrainConfig,
-    render_config: RenderConfig,
-    model,
-    disc,
-    state: GANState,
-    real_batch: Dict[str, jnp.ndarray],
-    fake_batch: Dict[str, jnp.ndarray],
-    key,
-) -> Tuple[GANState, Dict[str, jnp.ndarray]]:
-    """Discriminator step (odd iterations; reference run.py:1075-1190).
-
-    real_batch additionally carries 'images' [B, H, W, nc] (and optionally
-    'images_highres' for ADA anti-aliased augmentation).
-    """
-    k_aug_real, k_aug_fake, k_z, k_render = jax.random.split(key, 4)
-
-    # --- Real phase: ADA augment image+camera jointly, then warmup blur.
-    real_img = real_batch["images"]
-    pose_r, focal_r = real_batch["pose"], real_batch.get("focal")
+def _prepare_real_phase(config, state, batch, k_aug):
+    """ADA augment image+camera jointly, then warmup blur (real phase)."""
+    real_img = batch["images"]
+    pose_r, focal_r = batch["pose"], batch.get("focal")
     if config.augment_p > 0:
-        img_for_aug = real_batch.get("images_highres", real_img)
+        img_for_aug = batch.get("images_highres", real_img)
         img_aug, pose_r, focal_r, _ = augment_mod.augment(
-            k_aug_real, img_for_aug, pose_r, focal_r, state.augment_p_eff,
+            k_aug, img_for_aug, pose_r, focal_r, state.augment_p_eff,
             config.white_background,
         )
-        if "images_highres" in real_batch:
+        if "images_highres" in batch:
             img_aug = jax.lax.reduce_window(
                 img_aug, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0  # Anti-alias back to training res.
         real_img = img_aug
-
     sigma = _blur_sigma(state.iteration, config)
     real_img = filters.blur_dynamic(real_img, sigma, config.white_background)
+    return real_img, pose_r, focal_r
 
-    # --- Fake phase: render from fresh camera draws, params_g frozen.
-    pose_f, focal_f = fake_batch["pose"], fake_batch.get("focal")
+
+def _render_fake_phase(config, render_config, model, state, batch, keys,
+                       cond_image=None, labels=None):
+    """Renders the fake batch with the generator frozen."""
+    k_aug, k_z, k_render = keys
+    pose_f, focal_f = batch["pose"], batch.get("focal")
     if config.augment_p > 0:
         _, pose_f, focal_f, _ = augment_mod.augment(
-            k_aug_fake, None, pose_f, focal_f, state.augment_p_eff,
+            k_aug, None, pose_f, focal_f, state.augment_p_eff,
             config.white_background,
         )
     z = jax.random.normal(k_z, (pose_f.shape[0], config.latent_dim))
@@ -331,28 +398,32 @@ def d_step(
     if state.buffers_g:
         variables_g["buffers"] = state.buffers_g
     out, _ = render(
-        render_config,
-        model,
-        variables_g,
-        pose_f,
-        focal_f,
-        z,
-        center=fake_batch.get("center"),
-        bbox=fake_batch.get("bbox"),
-        key=k_render,
-        noise_mode=config.noise_mode,
+        render_config, model, variables_g, pose_f, focal_f, z,
+        center=batch.get("center"), bbox=batch.get("bbox"),
+        key=k_render, noise_mode=config.noise_mode,
+        label=labels, image=cond_image,
     )
     fake_img = jax.lax.stop_gradient(_disc_input(out, config))
+    return fake_img, pose_f, focal_f
+
+
+def _d_branch(config, disc, params_d, real, fake, suffix=""):
+    """One discriminator's real+R1+fake loss/grads (reference:
+    run.py:1085-1146). real/fake: (img, pose, focal, cond_img, label)."""
+    real_img, pose_r, focal_r, cond_r, label_r = real
+    fake_img, pose_f, focal_f, cond_f, label_f = fake
 
     def loss_fn(params_d):
         dvars = {"params": params_d}
 
         def d_real_sum(img):
             return jnp.sum(
-                disc.apply(dvars, img, pose_r, None, focal_r)
+                disc.apply(dvars, img, pose_r, cond_r, focal_r, label_r)
             )
 
-        logits_real = disc.apply(dvars, real_img, pose_r, None, focal_r)
+        logits_real = disc.apply(
+            dvars, real_img, pose_r, cond_r, focal_r, label_r
+        )
         loss_real = softplus_gan_loss(logits_real, True)
 
         grad_penalty = 0.0
@@ -362,23 +433,106 @@ def d_step(
                 jnp.sum(jnp.square(g_img.reshape(g_img.shape[0], -1)), axis=1)
             )
 
-        logits_fake = disc.apply(dvars, fake_img, pose_f, None, focal_f)
+        logits_fake = disc.apply(
+            dvars, fake_img, pose_f, cond_f, focal_f, label_f
+        )
         loss_fake = softplus_gan_loss(logits_fake, False)
 
         loss = loss_real + (config.r1 / 2.0) * grad_penalty + loss_fake
         metrics = {
-            "loss_d_real": loss_real,
-            "loss_d_fake": loss_fake,
-            "loss_r1": grad_penalty,
-            "sign_real": jnp.mean(jnp.sign(logits_real)),
+            f"loss_d_real{suffix}": loss_real,
+            f"loss_d_fake{suffix}": loss_fake,
+            f"loss_r1{suffix}": grad_penalty,
+            f"sign_real{suffix}": jnp.mean(jnp.sign(logits_real)),
         }
         return loss, metrics
 
-    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params_d)
+    return jax.grad(loss_fn, has_aux=True)(params_d)
+
+
+def d_step(
+    config: GANTrainConfig,
+    render_config: RenderConfig,
+    model,
+    disc,
+    state: GANState,
+    real_batch: Dict[str, jnp.ndarray],
+    fake_batch: Dict[str, jnp.ndarray],
+    key,
+    disc2=None,
+    real_batch2: Optional[Dict[str, jnp.ndarray]] = None,
+    fake_batch2: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Tuple[GANState, Dict[str, jnp.ndarray]]:
+    """Discriminator step (odd iterations; reference run.py:1075-1190).
+
+    real_batch additionally carries 'images' [B, H, W, nc] (and optionally
+    'images_highres' for ADA anti-aliased augmentation). Dual mode takes
+    independent real/fake draws for the unconditional second discriminator.
+    """
+    keys = jax.random.split(key, 8)
     _, tx_d = make_optimizers(config)
-    updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
-    params_d = optax.apply_updates(state.params_d, updates)
-    metrics["grad_norm_d"] = optax.global_norm(grads)
+    metrics: Dict[str, jnp.ndarray] = {}
+
+    params_d, opt_d = state.params_d, state.opt_d
+    if not (config.dual_l1 or config.dual_mse):
+        real_img, pose_r, focal_r = _prepare_real_phase(
+            config, state, real_batch, keys[0]
+        )
+        cond_r = (
+            real_batch["images"][..., :3] if config.use_encoder else None
+        )
+        label_r = real_batch.get("classes") if config.use_class else None
+        cond_f = (
+            fake_batch["images"][..., :3]
+            if (config.use_encoder and "images" in fake_batch)
+            else None
+        )
+        label_f = fake_batch.get("classes") if config.use_class else None
+        fake_img, pose_f, focal_f = _render_fake_phase(
+            config, render_config, model, state, fake_batch,
+            (keys[1], keys[2], keys[3]), cond_image=cond_f, labels=label_f,
+        )
+        grads, m0 = _d_branch(
+            config, disc, state.params_d,
+            (real_img, pose_r, focal_r, cond_r, label_r),
+            (fake_img, pose_f, focal_f, cond_f, label_f),
+        )
+        metrics.update(m0)
+        updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates)
+        metrics["grad_norm_d"] = optax.global_norm(grads)
+
+    params_d2, opt_d2 = state.params_d2, state.opt_d2
+    if config.dual_discriminator:
+        rb2 = real_batch2 if real_batch2 is not None else real_batch
+        fb2 = fake_batch2 if fake_batch2 is not None else fake_batch
+        real_img2, pose_r2, focal_r2 = _prepare_real_phase(
+            config, state, rb2, keys[4]
+        )
+        fake_img2, pose_f2, focal_f2 = _render_fake_phase(
+            config, render_config, model, state, fb2,
+            (keys[5], keys[6], keys[7]),
+            cond_image=(
+                fb2["images"][..., :3]
+                if (config.use_encoder and "images" in fb2)
+                else None
+            ),
+        )
+        grads2, m1 = _d_branch(
+            config, disc2 or disc, state.params_d2,
+            (real_img2, pose_r2, focal_r2, None, None),
+            (fake_img2, pose_f2, focal_f2, None, None),
+            suffix="_uncond",
+        )
+        metrics.update(m1)
+        updates2, opt_d2 = tx_d.update(grads2, state.opt_d2, state.params_d2)
+        params_d2 = optax.apply_updates(state.params_d2, updates2)
+
+    # ADA adapts on the unconditional discriminator's sign when dual
+    # (reference: run.py:1148-1163, unconditional_discriminator_idx).
+    sign_key = "sign_real_uncond" if config.dual_discriminator else "sign_real"
+    metrics.setdefault(sign_key, jnp.zeros(()))
+    metrics["sign_real"] = metrics.get("sign_real", metrics[sign_key])
 
     # --- ADA p adaptation, every ada_interval-th D step
     # (reference: run.py:1148-1163).
@@ -388,7 +542,7 @@ def d_step(
             state.iteration % (2 * config.ada_interval)
             == 2 * config.ada_interval - 1
         )
-        ada_delta = jnp.sign(metrics["sign_real"] - config.ada_target) * (
+        ada_delta = jnp.sign(metrics[sign_key] - config.ada_target) * (
             config.batch_size * config.ada_interval
         ) / config.ada_rampup
         new_p = jnp.clip(augment_p_eff + ada_delta, 0.0, config.augment_p)
@@ -404,6 +558,8 @@ def d_step(
         state._replace(
             params_d=params_d,
             opt_d=opt_d,
+            params_d2=params_d2,
+            opt_d2=opt_d2,
             iteration=state.iteration + 1,
             augment_p_eff=augment_p_eff,
         ),

@@ -48,6 +48,12 @@ class RenderConfig:
     # Convert the ray-distance depth map to z-buffer depth (driving evals;
     # reference: eval_nusc_persp.py:221-229).
     zbuffer_depth: bool = False
+    # Shard the ray grid's H axis over the mesh 'data' axis (sequence-
+    # parallel analog: rays are embarrassingly parallel, the per-ray sample
+    # scan stays on-device). Used for batch-1 inversion / large renders on
+    # multi-chip meshes; params/planes stay replicated and XLA all-gathers
+    # the composited maps.
+    shard_rays: bool = False
 
 
 def prepare_rays(
@@ -66,6 +72,14 @@ def prepare_rays(
         h, w, focal_length, tform_cam2world, bbox, center
     )
     ray_directions = rays.normalize_directions(ray_directions)
+    if config.shard_rays:
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(None, "data", None, None)
+        ray_origins = jax.lax.with_sharding_constraint(ray_origins, spec)
+        ray_directions = jax.lax.with_sharding_constraint(
+            ray_directions, spec
+        )
     near, far = aabb.compute_near_far_planes(
         ray_origins, ray_directions, config.scene_range
     )

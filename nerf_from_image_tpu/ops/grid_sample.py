@@ -60,7 +60,7 @@ def grid_sample_2d(table: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
     def gather(yi, xi):
         idx = (yi * W + xi + batch_offset).reshape(-1)  # [B*N]
-        return jnp.take(flat, idx, axis=0).reshape(B, -1, C)
+        return jnp.take(flat, idx, axis=0, mode="clip").reshape(B, -1, C)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)
@@ -108,7 +108,7 @@ def grid_sample_2d_zeros(table: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
         idx = (idx + batch_offset).reshape(-1)
-        v = jnp.take(flat, idx, axis=0).reshape(B, -1, C)
+        v = jnp.take(flat, idx, axis=0, mode="clip").reshape(B, -1, C)
         return v * (w * valid.astype(table.dtype))[..., None]
 
     return (

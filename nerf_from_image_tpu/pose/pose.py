@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -190,6 +191,30 @@ def matrix_to_conditioning_vector(
     return jnp.concatenate(
         (z0[:, None], t2, s[:, None], rot_flat), axis=-1
     )
+
+
+def perturb_poses(tform_cam2world, avg_angle: float, *extra_args, seed=1234):
+    """Pose-robustness ablation: swap each pose for the dataset pose nearest
+    a random target angular distance (reference: lib/pose_utils.py:171-186).
+    Host-side numpy; returns (poses, *extra) with the same permutation."""
+    poses = np.asarray(tform_cam2world)
+    dists_all = np.asarray(
+        jax.vmap(
+            lambda p: rotation_matrix_distance(
+                jnp.broadcast_to(p, poses.shape), jnp.asarray(poses)
+            )
+        )(jnp.asarray(poses))
+    )
+    rng = np.random.RandomState(seed)
+    indices = []
+    for i in range(len(poses)):
+        target = rng.rand() * avg_angle * 2
+        indices.append(int(np.abs(dists_all[i] - target).argmin()))
+    out_extra = [
+        (np.asarray(a)[indices].copy() if a is not None else None)
+        for a in extra_args
+    ]
+    return (poses[indices].copy(), *out_extra)
 
 
 def rotation_matrix_distance(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

@@ -250,3 +250,94 @@ class TestAugmentGolden:
         np.testing.assert_allclose(
             np.asarray(got_focal), focal_ref.numpy(), rtol=1e-5, atol=1e-6
         )
+
+
+class TestDualEncoderModes:
+    def test_dual_discriminator_steps(self):
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_from_image_tpu.engine import gan
+        from nerf_from_image_tpu.engine.render import RenderConfig
+        from nerf_from_image_tpu.models.discriminator import Discriminator
+        from nerf_from_image_tpu.models.generator import Generator
+
+        model = Generator(
+            latent_dim=32, scene_range=0.55, attention_values=0, use_sdf=True,
+            use_encoder=True, w_dim=32, plane_channels=8,
+            synthesis_resolution=16, channel_base=256, channel_max=32,
+        )
+        disc = Discriminator(resolution=16, nc=3, camera_flipped=False,
+                             conditional_pose=True, use_encoder=True)
+        disc2 = Discriminator(resolution=16, nc=3, camera_flipped=False,
+                              conditional_pose=True, use_encoder=False)
+        config = gan.GANTrainConfig(
+            batch_size=2, latent_dim=32, white_background=True,
+            use_encoder=True, dual_discriminator=True,
+            path_length_regularization=False, tv=0, entropy=0,
+        )
+        rc = RenderConfig(resolution=16, depth_samples_per_ray=4,
+                          fine_sampling=False, scene_range=0.55,
+                          white_background=True)
+        state = gan.init_gan_state(config, model, disc, jax.random.key(0), rc,
+                                   disc2=disc2)
+        assert state.params_d2 is not None
+
+        rng = np.random.default_rng(0)
+        b1 = random_batch(rng, 2, with_images=True)
+        b2 = random_batch(rng, 2, with_images=True)
+        g_step = jax.jit(lambda s, a, b, k: gan.g_step(
+            config, rc, model, disc, s, a, k, disc2=disc2, batch2=b))
+        state1, gm = g_step(state, b1, b2, jax.random.key(1))
+        assert np.isfinite(float(gm["loss_g"]))
+        assert np.isfinite(float(gm["loss_g_uncond"]))
+
+        d_step = jax.jit(lambda s, rb, fb, rb2, fb2, k: gan.d_step(
+            config, rc, model, disc, s, rb, fb, k,
+            disc2=disc2, real_batch2=rb2, fake_batch2=fb2))
+        state2, dm = d_step(
+            state1, b1, random_batch(rng, 2, with_images=True),
+            b2, random_batch(rng, 2, with_images=True), jax.random.key(2))
+        for k in ("loss_d_real", "loss_d_real_uncond", "loss_d_fake_uncond"):
+            assert np.isfinite(float(dm[k])), k
+
+    def test_dual_l1_mode(self):
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_from_image_tpu.engine import gan
+        from nerf_from_image_tpu.engine.render import RenderConfig
+        from nerf_from_image_tpu.models.discriminator import Discriminator
+        from nerf_from_image_tpu.models.generator import Generator
+
+        model = Generator(
+            latent_dim=32, scene_range=0.55, attention_values=0, use_sdf=True,
+            use_encoder=True, w_dim=32, plane_channels=8,
+            synthesis_resolution=16, channel_base=256, channel_max=32,
+        )
+        disc2 = Discriminator(resolution=16, nc=3, camera_flipped=False,
+                              conditional_pose=True, use_encoder=False)
+        config = gan.GANTrainConfig(
+            batch_size=2, latent_dim=32, white_background=True,
+            use_encoder=True, dual_discriminator=True, dual_l1=True,
+            path_length_regularization=False, tv=0, entropy=0,
+        )
+        rc = RenderConfig(resolution=16, depth_samples_per_ray=4,
+                          fine_sampling=False, scene_range=0.55,
+                          white_background=True)
+        state = gan.init_gan_state(config, model, disc2, jax.random.key(0),
+                                   rc, disc2=disc2)
+        assert state.params_d is None  # pixel loss replaces conditional D
+
+        rng = np.random.default_rng(1)
+        b1 = random_batch(rng, 2, with_images=True)
+        b2 = random_batch(rng, 2, with_images=True)
+        state1, gm = jax.jit(lambda s, a, b, k: gan.g_step(
+            config, rc, model, disc2, s, a, k, disc2=disc2, batch2=b))(
+            state, b1, b2, jax.random.key(1))
+        assert np.isfinite(float(gm["loss_g"]))
+        state2, dm = jax.jit(lambda s, rb, fb, k: gan.d_step(
+            config, rc, model, disc2, s, rb, fb, k, disc2=disc2))(
+            state1, b1, random_batch(rng, 2, with_images=True),
+            jax.random.key(2))
+        assert np.isfinite(float(dm["loss_d_real_uncond"]))

@@ -1,0 +1,132 @@
+"""Bootstrap-encoder training driver (the reference's train_coord_regressor,
+run.py:1521-1706): distills the frozen EMA generator into a SegFormer
+encoder that predicts canonical coordinate maps, masks and latents.
+
+Usage:
+  python train_encoder.py --dataset p3d_car --resume_from <gan checkpoint> \
+      --data_path datasets
+Smoke:
+  python train_encoder.py --dataset synthetic --batch_size 2 \
+      --resolution 16 --iterations 3 --max_images 8 --latent_dim 32
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+
+def main():
+    from nerf_from_image_tpu import arguments
+    from nerf_from_image_tpu.data.loaders import load_dataset
+    from nerf_from_image_tpu.data.splits import EndlessSampler
+    from nerf_from_image_tpu.engine import coord_regressor as cr
+    from nerf_from_image_tpu.engine.render import RenderConfig
+    from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+    from nerf_from_image_tpu.models.generator import Generator
+    from nerf_from_image_tpu.parallel import mesh as mesh_mod
+    from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+    args = arguments.parse_args()
+    config_ds, train_split, _, _ = load_dataset(
+        args.dataset, args.data_path, resolution=args.resolution,
+        augment_p=0.0, max_images=args.max_images,
+    )
+
+    generator = Generator(
+        latent_dim=args.latent_dim,
+        scene_range=config_ds.scene_range,
+        attention_values=args.attention_values,
+        use_sdf=args.use_sdf,
+    )
+    gen_vars = jax.jit(lambda k: generator.init(k, method="init_all"))(
+        jax.random.key(0)
+    )
+    if args.resume_from:
+        if args.resume_from.endswith(".pth"):
+            from nerf_from_image_tpu.utils import torch_interop
+
+            sd = torch_interop.load_torch_checkpoint(
+                args.resume_from, key="model_ema"
+            )
+            gen_vars = jax.tree.map(
+                jnp.asarray,
+                torch_interop.state_dict_to_variables(dict(gen_vars), sd),
+            )
+        else:
+            state = ckpt.load_checkpoint(args.resume_from)
+            gen_vars = {
+                "params": state["params_ema"],
+                "buffers": state.get("buffers_g", {}),
+            }
+        print("Loaded generator from", args.resume_from)
+
+    encoder = BootstrapEncoder(
+        latent_dim=args.latent_dim,
+        separate_backbones=args.inv_use_separate,
+    )
+    config = cr.CoordRegressorConfig(
+        batch_size=args.batch_size,
+        latent_dim=args.latent_dim,
+        max_iters=args.iterations if args.iterations != 300000 else 120000,
+    )
+    render_config = RenderConfig(
+        resolution=args.resolution,
+        depth_samples_per_ray=64 if args.fine_sampling else 128,
+        fine_sampling=args.fine_sampling,
+        scene_range=config_ds.scene_range,
+        white_background=config_ds.white_background,
+        query_chunk=args.query_chunk or None,
+    )
+
+    n_chips = args.chips or jax.device_count()
+    mesh = mesh_mod.make_mesh(n_data=n_chips, devices=jax.devices()[:n_chips])
+    state = cr.init_coord_state(config, encoder, jax.random.key(1))
+    state = mesh_mod.replicate(mesh, state)
+    gen_vars = mesh_mod.replicate(mesh, gen_vars)
+
+    rng = np.random.RandomState(1234)
+    sampler = EndlessSampler(len(train_split), rng)
+    step = jax.jit(
+        lambda s, b, k: cr.coord_train_step(
+            config, render_config, generator, gen_vars, encoder, s, b, k
+        )
+    )
+
+    ckpt_dir = os.path.join(args.root_path, "coords_checkpoints",
+                            f"c_{args.dataset}")
+    key = jax.random.key(2)
+    t0 = time.time()
+    with jax.sharding.set_mesh(mesh):
+        for i in range(config.max_iters):
+            idx = sampler(args.batch_size)
+            sel = train_split.select(idx)
+            batch = {"pose": jnp.asarray(sel.tform_cam2world)}
+            if sel.focal_length is not None:
+                batch["focal"] = jnp.asarray(sel.focal_length)
+            batch = mesh_mod.shard_batch(mesh, batch)
+            key, k = jax.random.split(key)
+            state, losses = step(state, batch, k)
+            if i % 1000 == 0 or i + 1 == config.max_iters:
+                msg = " ".join(
+                    f"{k_} {float(v):.5f}" for k_, v in losses.items()
+                )
+                print(f"[{i}] {msg}  ({(i+1)/(time.time()-t0):.2f} it/s)")
+            if (i + 1) % 10000 == 0 or i + 1 == config.max_iters:
+                ckpt.save_checkpoint(
+                    os.path.join(ckpt_dir, f"checkpoint_{i + 1}"), state
+                )
+    print("Encoder training complete.")
+
+
+if __name__ == "__main__":
+    main()
