@@ -287,7 +287,7 @@ class Generator(nn.Module):
         c_dim = 512 if self.num_classes else 0
         if self.use_encoder:
             self.emb = ResidualEncoder(3, self.w_dim, use_instance_norm=True)
-            c_dim = self.w_dim
+            c_dim = 512  # ResidualEncoder's pooled feature width is fixed.
 
         self.mapping_network = MappingNetwork(
             z_dim=self.latent_dim,
