@@ -21,6 +21,19 @@ def _ckpt_dir(path: str) -> str:
     return os.path.abspath(path)
 
 
+def _unwrap_keys(tree: Any) -> Any:
+    """Typed PRNG keys -> raw uint32 key data (orbax can't serialize the
+    opaque key dtype)."""
+    return jax.tree.map(
+        lambda x: jax.random.key_data(x)
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        )
+        else x,
+        tree,
+    )
+
+
 def save_checkpoint(path: str, state: Any, step: Optional[int] = None):
     """Saves a pytree checkpoint (creates parent dirs)."""
     import orbax.checkpoint as ocp
@@ -28,7 +41,7 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None):
     path = _ckpt_dir(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.save(path, jax.device_get(_unwrap_keys(state)), force=True)
 
 
 def load_checkpoint(path: str, template: Optional[Any] = None):
@@ -41,10 +54,50 @@ def load_checkpoint(path: str, template: Optional[Any] = None):
             return ckptr.restore(
                 path,
                 args=ocp.args.PyTreeRestore(
-                    item=jax.tree.map(np.asarray, jax.device_get(template))
+                    item=jax.tree.map(
+                        np.asarray, jax.device_get(_unwrap_keys(template))
+                    )
                 ),
             )
         return ckptr.restore(path)
+
+
+def load_train_checkpoint(path: str, template: Optional[Any] = None):
+    """Loads a training checkpoint, returning (state, key). Handles both the
+    bare-state layout and the {'state':..., 'key':...} layout. The key is
+    stored as raw uint32 key data and rewrapped here."""
+    restored = load_checkpoint(
+        path,
+        template={
+            "state": template,
+            "key": jax.random.key_data(jax.random.key(0)),
+        }
+        if template is not None
+        else None,
+    )
+    if isinstance(restored, dict) and "state" in restored:
+        key = restored.get("key")
+        if key is not None:
+            key = jax.random.wrap_key_data(jax.numpy.asarray(key))
+        return restored["state"], key
+    return restored, None
+
+
+def generator_variables_from_checkpoint(restored) -> dict:
+    """Extracts EMA generator variables from a restored train checkpoint
+    (either layout; orbax restores NamedTuples as dicts/lists)."""
+    state = restored.get("state", restored) if isinstance(restored, dict) \
+        else restored
+    if isinstance(state, dict):
+        params_ema = state["params_ema"]
+        buffers = state.get("buffers_g", {})
+    else:
+        params_ema = state.params_ema
+        buffers = state.buffers_g
+    variables = {"params": params_ema}
+    if buffers:
+        variables["buffers"] = buffers
+    return variables
 
 
 def latest_checkpoint(directory: str, prefix: str = "checkpoint_"):

@@ -18,6 +18,12 @@ import numpy as np
 
 import jax
 
+# Persistent compilation cache (XLA compiles of the G/D steps take minutes;
+# restarts and resumes skip them).
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     # The environment may pin the axon TPU plugin via sitecustomize; honor
     # an explicit CPU request (tests / debugging).
@@ -123,8 +129,19 @@ def main():
     latest = ckpt.latest_checkpoint(checkpoint_dir)
     if latest is not None:
         print("Resuming from", latest)
-        state = ckpt.load_checkpoint(latest, template=state)
-        start_iter = int(state.iteration)
+        restored, restored_key = ckpt.load_train_checkpoint(
+            latest, template=state
+        )
+        state = jax.tree.map(
+            lambda t, r: r, state, restored
+        ) if not isinstance(restored, type(state)) else restored
+        if restored_key is not None:
+            key = restored_key
+        start_iter = int(
+            restored["iteration"]
+            if isinstance(restored, dict)
+            else restored.iteration
+        )
 
     state = mesh_mod.replicate(mesh, state)
 
@@ -176,15 +193,54 @@ def main():
         )
     )
 
-    writer = None
-    try:
-        from tensorboardX import SummaryWriter
+    from nerf_from_image_tpu.utils.tb import Logger
 
-        writer = SummaryWriter(
-            os.path.join(args.root_path, "gan_logs", experiment_name)
+    writer = Logger(os.path.join(args.root_path, "gan_logs", experiment_name))
+
+    # Optional on-device FID (needs InceptionV3 weights; see
+    # models/inception.py — set NFI_INCEPTION_WEIGHTS to a pytorch-fid
+    # checkpoint to enable metric-grade numbers).
+    fid_eval = None
+    inception_weights = os.environ.get("NFI_INCEPTION_WEIGHTS")
+    if inception_weights and os.path.exists(inception_weights):
+        from nerf_from_image_tpu.engine import gan_eval
+        from nerf_from_image_tpu.models.inception import (
+            FIDInceptionV3,
+            inception_state_to_variables,
         )
-    except ImportError:
-        pass
+        from nerf_from_image_tpu.utils import torch_interop
+        from nerf_from_image_tpu.data.splits import (
+            compute_eval_indices,
+            draw_eval_latents,
+        )
+
+        inception = FIDInceptionV3()
+        inc_vars = inception.init(
+            jax.random.key(99), jnp.zeros((1, 64, 64, 3))
+        )
+        inc_vars = inception_state_to_variables(
+            dict(inc_vars),
+            torch_interop.load_torch_checkpoint(inception_weights),
+        )
+        inc_vars = jax.tree.map(jnp.asarray, inc_vars)
+        real_stats = gan_eval.compute_real_fid_stats(
+            inception, inc_vars, train_eval_split.images
+        )
+        eval_indices = compute_eval_indices(train_eval_split)
+        z_fid = draw_eval_latents(len(eval_indices), args.latent_dim)
+        fid_batch_fn = jax.jit(
+            gan_eval.make_fid_eval_fn(render_config, model, inception,
+                                      inc_vars)
+        )
+
+        def fid_eval(st):
+            variables = {"params": st.params_ema}
+            if st.buffers_g:
+                variables["buffers"] = st.buffers_g
+            return gan_eval.evaluate_fid(
+                fid_batch_fn, variables, z_fid, train_eval_split,
+                eval_indices, real_stats,
+            )
 
     t_start = time.time()
     display_every = 5000
@@ -203,13 +259,15 @@ def main():
                     time.time() - t_start
                 )
                 print(f"[{i}] im/s {imps:.2f}", m)
-                if writer is not None:
-                    for k_, v in m.items():
-                        writer.add_scalar(f"loss/{k_}", v, i)
-                    writer.add_scalar("img_per_sec", imps, i)
+                writer.scalars(m, i, prefix="loss/")
+                writer.scalar("img_per_sec", imps, i)
+                if fid_eval is not None and (i + 1) % display_every == 0:
+                    fid_m = fid_eval(state)
+                    print(f"[{i}] FID {fid_m['fid']:.2f}")
+                    writer.scalar("fid", fid_m["fid"], i)
             if (i + 1) % 50000 == 0 or i + 1 == args.iterations:
                 path = os.path.join(checkpoint_dir, f"checkpoint_{i + 1}")
-                ckpt.save_checkpoint(path, state)
+                ckpt.save_checkpoint(path, {"state": state, "key": key})
                 print("Saved checkpoint", path)
 
     print("Training complete.")
