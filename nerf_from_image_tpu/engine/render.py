@@ -45,6 +45,13 @@ class RenderConfig:
     # Pre-pack triplanes into corner-packed gather rows (ops/triplane):
     # one gather per plane per point instead of four.
     pack_planes: bool = True
+    # Storage dtype of the gathered plane tables. 'bfloat16' cuts the
+    # dominant cost of the render step (the per-point row gathers) ~3x on
+    # TPU; all arithmetic before (synthesis) and after (corner FMA, MLP,
+    # compositing) stays f32. None keeps the synthesis dtype (strict-f32
+    # parity mode, the golden-test contract — reference pins fp32,
+    # run.py:59-60).
+    plane_dtype: Optional[str] = None
     # Convert the ray-distance depth map to z-buffer depth (driving evals;
     # reference: eval_nusc_persp.py:221-229).
     zbuffer_depth: bool = False
@@ -54,6 +61,14 @@ class RenderConfig:
     # multi-chip meshes; params/planes stay replicated and XLA all-gathers
     # the composited maps.
     shard_rays: bool = False
+    # How the coarse and fine passes are combined:
+    #   'pairwise' — sort-free dual-list compositing (all-pairs masked
+    #     reductions; no argsort, no 2S-permutation gather, no backward
+    #     scatter — see ops/compositing.composite_dual). Algebraically
+    #     identical to the reference's sort-merge.
+    #   'sort' — argsort over the concatenated sample axis + one flat
+    #     global-index gather (the correctness oracle).
+    merge_mode: str = "pairwise"
 
 
 def prepare_rays(
@@ -158,6 +173,43 @@ def render_field(
     coarse = query(query_points)
     sigma = coarse["sigma"]
     channels = {k: v for k, v in coarse.items() if k != "sigma"}
+
+    if config.fine_sampling and config.merge_mode == "pairwise":
+        weights = compositing.render_volume_density_weights_only(
+            sigma, ray_directions, depth_values
+        )
+        flat_w = compositing.smooth_weights(weights.reshape(-1, S))
+        z_mid = 0.5 * (depth_values[..., 1:] + depth_values[..., :-1])
+        z_samples = sampling.sample_pdf(
+            z_mid.reshape(-1, S - 1),
+            flat_w[..., 1:-1],
+            S,
+            key=key_fine,
+        ).reshape(B, H, W, S)
+        z_samples = jax.lax.stop_gradient(z_samples)
+
+        fine_points = (
+            ray_origins[..., None, :]
+            + ray_directions[..., None, :] * z_samples[..., :, None]
+        )
+        fine = query(fine_points)
+        fine_channels = {k: v for k, v in fine.items() if k != "sigma"}
+
+        if "coords" in channels:
+            channels["semantics"] = channels.pop("coords")
+            fine_channels["semantics"] = fine_channels.pop("coords")
+
+        out = compositing.composite_dual(
+            sigma,
+            depth_values,
+            channels,
+            fine["sigma"],
+            z_samples,
+            fine_channels,
+            ray_directions,
+            white_background=config.white_background,
+        )
+        return out, {"depth_values": depth_values}
 
     if config.fine_sampling:
         weights = compositing.render_volume_density_weights_only(
@@ -297,7 +349,10 @@ def render(
     if config.pack_planes:
         from nerf_from_image_tpu.ops.triplane import pack_corners
 
-        field_planes = pack_corners(planes)
+        field_planes = planes
+        if config.plane_dtype is not None:
+            field_planes = field_planes.astype(config.plane_dtype)
+        field_planes = pack_corners(field_planes)
     else:
         field_planes = planes
     attention_values = None

@@ -536,3 +536,186 @@ class TestPose:
         ).numpy()
         got = pose_mod.rotation_matrix_distance(jnp.asarray(p), jnp.asarray(q))
         np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-3)
+
+
+class TestCompositeDual:
+    """Sort-free dual-list compositing == sort-merge + render_volume_density,
+    values and gradients (ops/compositing.composite_dual)."""
+
+    def _make(self, rng, B, H, W, S):
+        sigma_a = np.abs(_rand(rng, B, H, W, S)) * 3
+        sigma_b = np.abs(_rand(rng, B, H, W, S)) * 3
+        rgb_a = rng.random((B, H, W, S, 3)).astype(np.float32)
+        rgb_b = rng.random((B, H, W, S, 3)).astype(np.float32)
+        depth_a = np.sort(
+            rng.random((B, H, W, S)).astype(np.float32) * 3 + 1, axis=-1
+        )
+        depth_b = np.sort(
+            rng.random((B, H, W, S)).astype(np.float32) * 3 + 1, axis=-1
+        )
+        dirs = _rand(rng, B, H, W, 3)
+        return sigma_a, rgb_a, depth_a, sigma_b, rgb_b, depth_b, dirs
+
+    def _sorted_reference(self, sigma_a, rgb_a, depth_a, sigma_b, rgb_b,
+                          depth_b, dirs, white):
+        from nerf_from_image_tpu.ops import compositing
+
+        depths = jnp.concatenate((depth_a, depth_b), axis=-1)
+        order = jnp.argsort(depths, axis=-1)
+        sigma = jnp.take_along_axis(
+            jnp.concatenate((sigma_a, sigma_b), axis=-1), order, axis=-1
+        )
+        depths_s = jnp.take_along_axis(depths, order, axis=-1)
+        rgb = jnp.take_along_axis(
+            jnp.concatenate((rgb_a, rgb_b), axis=-2),
+            order[..., None],
+            axis=-2,
+        )
+        return compositing.render_volume_density(
+            sigma, rgb, dirs, depths_s, white_background=white
+        )
+
+    @pytest.mark.parametrize("white", [True, False])
+    def test_forward_matches_sorted(self, white):
+        from nerf_from_image_tpu.ops import compositing
+
+        rng = np.random.default_rng(21)
+        args = self._make(rng, 2, 5, 4, 24)
+        sigma_a, rgb_a, depth_a, sigma_b, rgb_b, depth_b, dirs = map(
+            jnp.asarray, args
+        )
+        ref = self._sorted_reference(
+            sigma_a, rgb_a, depth_a, sigma_b, rgb_b, depth_b, dirs, white
+        )
+        out = compositing.composite_dual(
+            sigma_a, depth_a, {"rgb": rgb_a},
+            sigma_b, depth_b, {"rgb": rgb_b},
+            dirs, white_background=white,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.rgb), np.asarray(ref.rgb), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.depth), np.asarray(ref.depth), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.mask), np.asarray(ref.mask), rtol=2e-5, atol=2e-5
+        )
+
+    def test_gradients_match_sorted(self):
+        from nerf_from_image_tpu.ops import compositing
+
+        rng = np.random.default_rng(22)
+        args = self._make(rng, 1, 4, 3, 16)
+        sigma_a, rgb_a, depth_a, sigma_b, rgb_b, depth_b, dirs = map(
+            jnp.asarray, args
+        )
+
+        def loss_sorted(sa, ra, sb, rb):
+            o = self._sorted_reference(
+                sa, ra, depth_a, sb, rb, depth_b, dirs, True
+            )
+            return (
+                jnp.sum(o.rgb * jnp.cos(o.rgb))
+                + jnp.sum(o.mask * 0.7)
+                + jnp.sum(o.depth)
+            )
+
+        def loss_dual(sa, ra, sb, rb):
+            o = compositing.composite_dual(
+                sigma_a=sa, depth_a=depth_a, channels_a={"rgb": ra},
+                sigma_b=sb, depth_b=depth_b, channels_b={"rgb": rb},
+                ray_directions=dirs, white_background=True,
+            )
+            return (
+                jnp.sum(o.rgb * jnp.cos(o.rgb))
+                + jnp.sum(o.mask * 0.7)
+                + jnp.sum(o.depth)
+            )
+
+        g_ref = jax.grad(loss_sorted, argnums=(0, 1, 2, 3))(
+            sigma_a, rgb_a, sigma_b, rgb_b
+        )
+        g_new = jax.grad(loss_dual, argnums=(0, 1, 2, 3))(
+            sigma_a, rgb_a, sigma_b, rgb_b
+        )
+        for r, n in zip(g_ref, g_new):
+            np.testing.assert_allclose(
+                np.asarray(n), np.asarray(r), rtol=3e-4, atol=3e-5
+            )
+
+    def test_render_field_modes_agree(self):
+        """Full render_field: merge_mode='pairwise' == 'sort' on a toy
+        field (values + latent gradients)."""
+        import dataclasses
+
+        from nerf_from_image_tpu.engine import render as render_mod
+        from nerf_from_image_tpu.ops import rays as rays_mod
+        from nerf_from_image_tpu.ops import aabb
+
+        B, H, W = 1, 8, 8
+        cfg = render_mod.RenderConfig(
+            resolution=H,
+            depth_samples_per_ray=12,
+            fine_sampling=True,
+            scene_range=1.4,
+            white_background=True,
+            query_chunk=None,
+        )
+        pose = jnp.eye(4)[None].at[:, 2, 3].set(3.0)
+        focal = jnp.full((B,), 1.2)
+        ro, rd = rays_mod.get_ray_bundle(H, W, focal, pose, None, None)
+        rd = rays_mod.normalize_directions(rd)
+        near, far = aabb.compute_near_far_planes(ro, rd, cfg.scene_range)
+
+        def field_fn_of(theta):
+            def field_fn(points, outputs):
+                r = jnp.linalg.norm(points, axis=-1)
+                sigma = 10.0 * jax.nn.relu(theta[0] - r)
+                rgb = jnp.stack(
+                    (
+                        jnp.sin(points[..., 0] * theta[1]) * 0.5 + 0.5,
+                        jnp.cos(points[..., 1]) * 0.5 + 0.5,
+                        points[..., 2] * 0.0 + 0.3,
+                    ),
+                    axis=-1,
+                )
+                return {"sigma": sigma, "rgb": rgb}
+
+            return field_fn
+
+        theta = jnp.asarray([0.9, 2.0])
+
+        def run(mode, theta):
+            c = dataclasses.replace(cfg, merge_mode=mode)
+            out, _ = render_mod.render_field(
+                c, field_fn_of(theta), ro, rd, near, far, key=None
+            )
+            return out
+
+        out_s = run("sort", theta)
+        out_p = run("pairwise", theta)
+        np.testing.assert_allclose(
+            np.asarray(out_p.rgb), np.asarray(out_s.rgb), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p.depth), np.asarray(out_s.depth), rtol=2e-5,
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p.mask), np.asarray(out_s.mask), rtol=2e-5,
+            atol=2e-5,
+        )
+
+        def loss(mode):
+            def f(theta):
+                o = run(mode, theta)
+                return jnp.sum(o.rgb**2) + jnp.sum(o.mask)
+
+            return f
+
+        g_s = jax.grad(loss("sort"))(theta)
+        g_p = jax.grad(loss("pairwise"))(theta)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_s), rtol=1e-4, atol=1e-5
+        )

@@ -59,3 +59,34 @@ def test_double_backward():
 
     g = jax.grad(lambda c: jnp.square(jax.grad(f)(c)).sum())(coords)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_bf16_rows_close_to_f32():
+    """bf16 packed tables (RenderConfig.plane_dtype) sample within bf16
+    quantization error of the f32 path, and gradients flow."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_from_image_tpu.ops.triplane import pack_corners, sample_packed
+
+    rng = np.random.default_rng(5)
+    plane = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    coords = jnp.asarray(
+        (rng.random((2, 64, 2)) * 2 - 1).astype(np.float32)
+    )
+
+    out32 = sample_packed(pack_corners(plane), coords)
+    out16 = sample_packed(pack_corners(plane.astype(jnp.bfloat16)), coords)
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), rtol=0, atol=2e-2
+    )
+
+    g = jax.grad(
+        lambda p: jnp.sum(
+            sample_packed(pack_corners(p.astype(jnp.bfloat16)), coords) ** 2
+        )
+    )(plane)
+    assert g.dtype == jnp.float32
+    assert bool(jnp.any(g != 0))
