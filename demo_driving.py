@@ -152,6 +152,10 @@ def main():
         scene_range=config_ds.scene_range,
         white_background=True,
         query_chunk=args.query_chunk or None,
+        plane_dtype=None
+        if args.plane_dtype == "float32"
+        else args.plane_dtype,
+        merge_mode=args.merge_mode,
     )
     invert = jax.jit(
         inv_mod.make_invert_fn(

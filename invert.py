@@ -109,6 +109,10 @@ def main():
         white_background=config_ds.white_background,
         use_viewdir=args.use_viewdir,
         query_chunk=args.query_chunk or None,
+        plane_dtype=None
+        if args.plane_dtype == "float32"
+        else args.plane_dtype,
+        merge_mode=args.merge_mode,
     )
 
     invert = jax.jit(

@@ -90,6 +90,15 @@ def parse_args(argv=None):
     parser.add_argument("--dtype", type=str, default="float32",
                         help="Compute dtype: float32 | bfloat16")
     parser.add_argument("--query_chunk", type=int, default=131072)
+    parser.add_argument("--plane_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Storage dtype of the gathered triplane tables"
+                        " (bfloat16 is ~1.4x faster end-to-end on TPU; all"
+                        " surrounding arithmetic stays float32)")
+    parser.add_argument("--merge_mode", type=str, default="pairwise",
+                        choices=["pairwise", "sort"],
+                        help="Coarse+fine combination: sort-free pairwise"
+                        " compositing (fast) or the argsort merge oracle")
     parser.add_argument("--sdf_pretrain_steps", type=int, default=1000)
     parser.add_argument("--max_images", type=int, default=None,
                         help="Cap loaded dataset size (debug)")

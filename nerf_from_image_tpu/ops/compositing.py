@@ -8,9 +8,10 @@ applies before importance sampling (reference: run.py:267-272).
 The transmittance scan is an exclusive cumulative product over the S axis —
 XLA lowers jnp.cumprod to a log-depth associative scan that stays entirely
 in registers/VMEM for the S=64..128 sample counts used here; the surrounding
-elementwise math fuses into it. The Pallas fused ray-march kernel
-(ops/pallas/raymarch.py) subsumes this path on the hot loop; this module is
-the correctness oracle and the double-backward-safe path.
+elementwise math fuses into it, so this path already runs at VPU speed (the
+step's cost lives in the triplane gathers, not here — see
+scripts/profile_render.py). `composite_dual` below additionally removes the
+engine-level coarse+fine sort-merge from the hot loop.
 """
 
 from __future__ import annotations

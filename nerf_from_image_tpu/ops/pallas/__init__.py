@@ -1,0 +1,23 @@
+"""Pallas TPU kernels — currently empty by measurement, not omission.
+
+Every hot op of the render step was profiled on v5e against its XLA
+lowering (scripts/profile_render.py, scripts/profile_gather.py):
+
+* Triplane row gathers: XLA's bulk gather moves (8,128) HBM tiles per row
+  — 81 Mrows/s f32, 258 Mrows/s bf16 ≈ 330-530 GB/s of tile-amplified
+  bandwidth. A Pallas alternative must either issue one DMA per row
+  (descriptor overhead ~100-300 ns/row ⇒ 10x slower) or hold a plane in
+  VMEM (8.4 MB f32 fits, but per-row dynamic loads serialize on the VPU at
+  a few cycles/row ⇒ no faster). The win came from layout instead:
+  corner-packing (4x fewer rows) and bf16 rows (3x rows/s), both pure XLA.
+* Backward scatter-add: 65 Mrows/s ≈ 530 GB/s of read-modify-write tile
+  traffic — already ~2/3 of HBM peak. Beating it needs points binned by
+  plane tile (a radix pipeline) so accumulation happens in VMEM; the sort
+  itself then dominates. Revisit if the scatter ever exceeds ~30% of step.
+* Compositing / sample_pdf / sort-merge: replaced by all-pairs masked
+  reductions (ops/compositing.composite_dual) that XLA fuses into VPU loop
+  fusions — measured at noise level after the rewrite.
+
+VMEM on this chip is ~16 MB (probed: 1 MB scratch compiles, 16 MB does
+not), which rules out VMEM-resident packed tables [65536, 128] f32/bf16.
+"""

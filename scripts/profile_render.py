@@ -114,21 +114,26 @@ def main():
 
         return jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
 
-    for chunk in (None, 65536, 131072, 262144, 524288):
-        cfg = dataclasses.replace(config, query_chunk=chunk)
+    rays = B * RES * RES
+    variants = [
+        ("base (pairwise,f32)", {}),
+        ("sort merge", {"merge_mode": "sort"}),
+        ("bf16 planes", {"plane_dtype": "bfloat16"}),
+        ("bf16 + chunk256k", {"plane_dtype": "bfloat16",
+                              "query_chunk": 262144}),
+        ("no fine pass", {"fine_sampling": False}),
+        ("bf16 nofine", {"plane_dtype": "bfloat16",
+                         "fine_sampling": False}),
+    ]
+    for name, kw in variants:
+        cfg = dataclasses.replace(config, **kw)
         try:
             t = timeit(bench_cfg(cfg), ws, pose, iters=4, warmup=1)
         except Exception as e:  # noqa: BLE001 — OOM at large chunks
-            print(f"render fwd+bwd chunk={str(chunk):>7}:   failed "
-                  f"({type(e).__name__})")
+            print(f"render fwd+bwd {name:>18}:   failed ({type(e).__name__})")
             continue
-        rays = B * RES * RES
-        print(f"render fwd+bwd chunk={str(chunk):>7}: {t*1e3:8.2f} ms  "
+        print(f"render fwd+bwd {name:>18}: {t*1e3:8.2f} ms  "
               f"{rays/t:8.0f} rays/s")
-
-    cfg = dataclasses.replace(config, pack_planes=False)
-    t = timeit(bench_cfg(cfg), ws, pose, iters=4, warmup=1)
-    print(f"render fwd+bwd nopack:       {t*1e3:8.2f} ms")
 
     # fwd only
     def fwd(ws, pose):

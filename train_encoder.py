@@ -86,6 +86,10 @@ def main():
         scene_range=config_ds.scene_range,
         white_background=config_ds.white_background,
         query_chunk=args.query_chunk or None,
+        plane_dtype=None
+        if args.plane_dtype == "float32"
+        else args.plane_dtype,
+        merge_mode=args.merge_mode,
     )
 
     n_chips = args.chips or jax.device_count()
