@@ -11,6 +11,20 @@ from __future__ import annotations
 import argparse
 
 
+def bool_flag(v) -> bool:
+    """argparse `type=` for booleans: accepts true/false/1/0/yes/no (any
+    case) and the empty string as False — `type=bool_flag` would parse the
+    string "False" as True (reference arguments.py has the same footgun)."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes", "y", "t"):
+        return True
+    if s in ("false", "0", "no", "n", "f", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
 
@@ -40,7 +54,7 @@ def parse_args(argv=None):
     parser.add_argument("--entropy", type=float, default=0.05)
     parser.add_argument("--eikonal", type=float, default=0.1)
     parser.add_argument("--supervise_alpha", action="store_true")
-    parser.add_argument("--conditional_pose", type=bool, default=True)
+    parser.add_argument("--conditional_pose", type=bool_flag, default=True)
     parser.add_argument("--augment_p", type=float, default=0)
     parser.add_argument("--augment_ada", action="store_true")
     parser.add_argument("--ada_target", type=float, default=0.6)
@@ -49,14 +63,14 @@ def parse_args(argv=None):
     parser.add_argument("--clip_gradient_norm", type=float, default=100.0)
 
     # Model settings
-    parser.add_argument("--fine_sampling", type=bool, default=True)
+    parser.add_argument("--fine_sampling", type=bool_flag, default=True)
     parser.add_argument("--attention_values", type=int, default=10)
-    parser.add_argument("--use_sdf", type=bool, default=True)
+    parser.add_argument("--use_sdf", type=bool_flag, default=True)
     parser.add_argument("--use_encoder", action="store_true")
     parser.add_argument("--use_viewdir", action="store_true")
     parser.add_argument("--use_class", action="store_true")
     parser.add_argument("--latent_dim", type=int, default=512)
-    parser.add_argument("--disable_stylegan_noise", type=bool, default=True)
+    parser.add_argument("--disable_stylegan_noise", type=bool_flag, default=True)
 
     # Inversion params
     parser.add_argument("--inv_use_testset", action="store_true")
