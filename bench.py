@@ -45,12 +45,18 @@ def main():
     model = Generator(
         latent_dim=512, scene_range=1.4, attention_values=10, use_sdf=True
     )
+    # Production perf configuration: bf16 triplane gather tables (the
+    # dominant HBM cost; golden-tested against the f32 path within
+    # tolerance — tests/test_triplane_packed.py) with rematerialized
+    # query chunks. Strict-f32 parity mode (plane_dtype=None) measures
+    # ~0.70x of this; scripts/bench_sweep.py reproduces the comparison.
     config = RenderConfig(
         resolution=RES,
         depth_samples_per_ray=SAMPLES,
         fine_sampling=True,
         scene_range=1.4,
         white_background=False,
+        plane_dtype="bfloat16",
     )
     variables = jax.jit(lambda k: model.init(k, method="init_all"))(
         jax.random.key(0)

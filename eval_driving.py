@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from nerf_from_image_tpu.utils.host_env import prepare_xla_flags
+
+prepare_xla_flags()
+
 import jax
 
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
@@ -31,6 +35,16 @@ if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
 import jax.numpy as jnp
 
 P3D_SCENE_RANGE = 1.4  # The encoder is trained on p3d_car.
+
+# p3d_car training-set focal-length percentiles, used by the focal-search
+# PnP init when true intrinsics are ignored (reference:
+# eval_nusc_persp.py:39-40 / eval_nusc.py:39 record these manually because
+# the driving evals run without the p3d training split on disk).
+P3D_FOCAL_GUESSES = np.asarray([
+    0.71839845, 1.07731938, 1.32769489, 1.59814608, 1.88348041,
+    2.27928376, 2.82873106, 3.73867059, 5.14416647, 9.12456608,
+    27.79907417,
+])
 
 
 def build_dataset(args):
@@ -40,6 +54,7 @@ def build_dataset(args):
         return NuScenesDrivingDataset(
             args.nusc_data_dir, args.nusc_version, img_size=args.resolution,
             white_bkgd=True,
+            external_pose_file=args.external_pose_file,
         )
     if args.dataset == "kitti":
         from nerf_from_image_tpu.data.driving import KittiDrivingDataset
@@ -234,8 +249,27 @@ def main():
             coords = mask_pred = None
             z_ = z_avg[None] if z_avg.ndim == 2 else z_avg
 
-        if args.init_pose_type == "gt" or coords is None:
+        init_focal = target_focal
+        if args.init_pose_type == "external" and "obj_pose_ext" in sample:
+            # Externally estimated (SUP-NeRF) world2cam -> render-frame
+            # cam2world (reference: eval_nusc_persp.py:1171-1180).
+            ext_w2c = np.eye(4, dtype=np.float32)
+            ext_w2c[:3, :] = sample["obj_pose_ext"]
+            ext_c2w = np.asarray(invert_space(jnp.asarray(ext_w2c)[None]))[0]
+            init_cam2world = jnp.asarray(
+                cam_pose_to_render_frame(
+                    ext_c2w[:3, :], config_ds.camera_flipped
+                )
+            )[None]
+        elif args.init_pose_type == "gt" or coords is None:
             init_cam2world = gt_cam2world
+        elif args.init_pose_type == "pnp_focal_search":
+            # Older-variant protocol (reference: eval_nusc.py): ignore the
+            # true intrinsics and search the p3d focal percentiles.
+            init_cam2world, est_focal, _ = pnp.estimate_poses_batch(
+                coords, mask_pred, P3D_FOCAL_GUESSES
+            )
+            init_focal = est_focal
         else:
             w2c, err = pnp.compute_pose_pnp_known_k(
                 coords, mask_pred, jnp.asarray(K)[None]
@@ -244,7 +278,7 @@ def main():
 
         z_ = jnp.reshape(z_, (1, 1, -1)) / inv_config.lr_gain_z
         pose_params = inv_mod.pose_params_from_matrix(
-            init_cam2world, target_focal, config_ds.camera_flipped
+            init_cam2world, init_focal, config_ds.camera_flipped
         )
 
         # Cross-view target: another annotation of the same instance.

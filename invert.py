@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from nerf_from_image_tpu.utils.host_env import prepare_xla_flags
+
+prepare_xla_flags()
+
 import jax
 
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
@@ -88,6 +92,67 @@ def main():
         jnp.zeros((1, args.resolution, args.resolution, 3)),
     )
 
+    # Bootstrap encoder: latent + pose first guess (reference:
+    # run.py:1961-1984 — z from the regressed w, pose from PnP on the
+    # regressed coordinate map with train-set focal guesses).
+    enc_vars = None
+    encoder_fwd = None
+    if args.coord_resume_from:
+        from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+
+        encoder = BootstrapEncoder(latent_dim=args.latent_dim)
+        if args.coord_resume_from.endswith(".pth"):
+            from nerf_from_image_tpu.models.encoder import encoder_rename
+            from nerf_from_image_tpu.utils import torch_interop
+
+            enc_init = encoder.init(
+                jax.random.key(4),
+                jnp.zeros((1, args.resolution, args.resolution, 3)),
+            )
+            sd = torch_interop.load_torch_checkpoint(
+                args.coord_resume_from, key="model_coord"
+            )
+            sd = {k.replace("module.", ""): v for k, v in sd.items()}
+            enc_vars = jax.tree.map(
+                jnp.asarray,
+                torch_interop.state_dict_to_variables(
+                    dict(enc_init), sd, rename=encoder_rename
+                ),
+            )
+        else:
+            enc_vars = ckpt.load_checkpoint(args.coord_resume_from)
+        encoder_fwd = jax.jit(
+            lambda v, x: encoder.apply(v, x, deterministic=True)
+        )
+        print("Loaded encoder from", args.coord_resume_from)
+    focal_guesses = pnp.get_focal_guesses(train_split.focal_length)
+
+    # Optional FID over the inversion outputs (reference: run.py:2355-2404).
+    # Weights gate as in train.py: NFI_INCEPTION_WEIGHTS points to a
+    # pytorch-fid pt_inception checkpoint.
+    inception = None
+    inc_vars = None
+    inception_weights = os.environ.get("NFI_INCEPTION_WEIGHTS")
+    if inception_weights and os.path.exists(inception_weights):
+        from nerf_from_image_tpu.models.inception import (
+            FIDInceptionV3,
+            inception_state_to_variables,
+        )
+        from nerf_from_image_tpu.utils import torch_interop
+
+        inception = FIDInceptionV3()
+        inc_vars = inception.init(
+            jax.random.key(5), jnp.zeros((1, 64, 64, 3))
+        )
+        inc_vars = jax.tree.map(
+            jnp.asarray,
+            inception_state_to_variables(
+                dict(inc_vars),
+                torch_interop.load_torch_checkpoint(inception_weights),
+            ),
+        )
+        print("FID enabled (inception weights:", inception_weights + ")")
+
     n_steps = args.inv_steps or (10 if args.inv_gain_z >= 10 else 30)
     checkpoint_steps = [0, n_steps] if not args.inv_encoder_only else [0]
 
@@ -125,7 +190,8 @@ def main():
     eval_fn = jax.jit(
         eval_mod.make_eval_fn(
             inv_config, render_config, model, variables, lpips_model,
-            lpips_vars, has_mask=config_ds.has_mask,
+            lpips_vars, inception_model=inception,
+            inception_variables=inc_vars, has_mask=config_ds.has_mask,
         )
     )
 
@@ -143,17 +209,35 @@ def main():
         eval_indices = eval_indices[: args.max_num_samples]
         eval_perm = eval_perm[: len(eval_indices)]
 
+    report_dir = os.path.join(args.root_path, "reports",
+                              f"inv_{args.dataset}")
+    report_ckpt_prefix = os.path.join(report_dir, "report_checkpoint")
     report = eval_mod.InversionReport(checkpoint_steps)
+    resume_idx = 0
+    if os.path.exists(report_ckpt_prefix + ".npz"):
+        # Resumable reports (reference: run.py:1858-1871, 2329-2336).
+        report = eval_mod.InversionReport.load(report_ckpt_prefix)
+        resume_idx = report.num_samples()
+        print(f"Resuming inversion report at image {resume_idx}")
     bs = args.batch_size
     key = jax.random.key(3)
     t0 = time.time()
 
-    for start in range(0, len(eval_indices), bs):
+    for start in range(resume_idx, len(eval_indices), bs):
         idx = eval_indices[start : start + bs]
-        if len(idx) < bs:
-            break  # pad+mask in a later revision; reference drops to bs=1
+        n_real = len(idx)
+        if n_real < bs:
+            # Ragged tail: pad by repeating the last index and slice the
+            # padded rows off every metric (the reference drops to bs=1 and
+            # recompiles; padding keeps one static shape).
+            idx = np.concatenate([idx, np.repeat(idx[-1:], bs - n_real)])
+        idx_perm = eval_perm[start : start + bs]
+        if len(idx_perm) < bs:
+            idx_perm = np.concatenate(
+                [idx_perm, np.repeat(idx_perm[-1:], bs - len(idx_perm))]
+            )
         sel = target_split.select(idx)
-        sel_perm = target_split.select(eval_perm[start : start + bs])
+        sel_perm = target_split.select(idx_perm)
         target_img = jnp.asarray(sel.images)
         pose_gt = jnp.asarray(sel.tform_cam2world)
         focal_gt = (
@@ -162,20 +246,46 @@ def main():
             else None
         )
 
-        # Init: average w + ground-truth-frame pose params (PnP path needs
-        # the trained encoder; see eval drivers).
+        # Init: regressed latent + PnP pose when the bootstrap encoder is
+        # loaded; average w + ground-truth-frame pose otherwise.
         z0 = z_avg / inv_config.lr_gain_z
         z0 = jnp.broadcast_to(z0, (bs,) + z0.shape[1:])
+        init_pose, init_focal = pose_gt, focal_gt
+        if enc_vars is not None:
+            coords, mask_pred, w_pred = encoder_fwd(
+                enc_vars, target_img[..., :3]
+            )
+            if coords is not None:
+                est_pose, est_focal, _ = pnp.estimate_poses_batch(
+                    coords, mask_pred, focal_guesses
+                )
+                init_pose = est_pose
+                if est_focal is not None:
+                    init_focal = est_focal
+            if w_pred is not None:
+                z0 = (
+                    jnp.broadcast_to(
+                        w_pred[:, None, :], (bs,) + z_avg.shape[1:]
+                    )
+                    / inv_config.lr_gain_z
+                )
         pose_params = inv_mod.pose_params_from_matrix(
-            pose_gt, focal_gt, config_ds.camera_flipped
+            init_pose, init_focal, config_ds.camera_flipped
         )
 
-        recovered = {
+        def take_real(tree):
+            """Drops padded tail rows before accumulation."""
+            return {
+                k: np.asarray(v)[:n_real] for k, v in tree.items()
+                if v is not None
+            }
+
+        recovered = take_real({
             "ws": np.asarray(z0 * inv_config.lr_gain_z),
             "R": np.asarray(pose_params.q),
             "s": np.asarray(pose_params.s),
             "t2": np.asarray(pose_params.t2),
-        }
+        })
         metrics0 = eval_fn(
             z0, pose_params, target_img, pose_gt,
             jnp.asarray(sel_perm.tform_cam2world),
@@ -183,7 +293,7 @@ def main():
             if sel_perm.focal_length is not None else None,
             jnp.asarray(sel_perm.images),
         )
-        report.add(0, jax.device_get(metrics0), recovered)
+        report.add(0, take_real(jax.device_get(metrics0)), recovered)
 
         if n_steps > 0:
             key, k = jax.random.split(key)
@@ -197,22 +307,35 @@ def main():
                 if sel_perm.focal_length is not None else None,
                 jnp.asarray(sel_perm.images),
             )
-            report.add(n_steps, jax.device_get(metrics_n), {
-                "ws": np.asarray(z_f * inv_config.lr_gain_z),
-                "R": np.asarray(pose_f.q),
-                "s": np.asarray(pose_f.s),
-                "t2": np.asarray(pose_f.t2),
-            })
-        done = start + bs
+            report.add(n_steps, take_real(jax.device_get(metrics_n)),
+                       take_real({
+                           "ws": np.asarray(z_f * inv_config.lr_gain_z),
+                           "R": np.asarray(pose_f.q),
+                           "s": np.asarray(pose_f.s),
+                           "t2": np.asarray(pose_f.t2),
+                       }))
+        done = start + n_real
         print(
             f"[{done}/{len(eval_indices)}] "
-            f"{(time.time() - t0) / done:.3f} s/img"
+            f"{(time.time() - t0) / max(done - resume_idx, 1):.3f} s/img"
+        )
+        if done % 512 < bs and done < len(eval_indices):
+            # Resumable report checkpoint every ~512 images (reference:
+            # run.py:2329-2336).
+            report.save(report_ckpt_prefix)
+
+    # Real-image FID stats for the front/random recon FIDs (reference:
+    # run.py:2355-2404) — only meaningful with real Inception weights.
+    fid_stats_real = None
+    if inception is not None:
+        from nerf_from_image_tpu.engine import gan_eval
+
+        fid_stats_real = gan_eval.compute_real_fid_stats(
+            inception, inc_vars, train_eval_split.images[..., :3]
         )
 
-    report_dir = os.path.join(args.root_path, "reports",
-                              f"inv_{args.dataset}")
-    report.save(os.path.join(report_dir, "report"))
-    print(report.summary())
+    report.save(os.path.join(report_dir, "report"), fid_stats_real)
+    print(report.summary(fid_stats_real))
     print("Report written to", report_dir)
 
 

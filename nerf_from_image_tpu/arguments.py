@@ -95,7 +95,9 @@ def parse_args(argv=None):
     parser.add_argument("--external_pose_file", default=None)
     parser.add_argument("--no_optimize_pose", action="store_true")
     parser.add_argument("--init_pose_type", default="pnp",
-                        help="pnp | gt | external")
+                        help="pnp (known intrinsics) | pnp_focal_search "
+                             "(older eval_nusc.py protocol) | gt | external "
+                             "(SUP-NeRF poses via --external_pose_file)")
 
     # Coord regressor
     parser.add_argument("--coord_resume_from", type=str)

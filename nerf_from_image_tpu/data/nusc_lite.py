@@ -199,7 +199,8 @@ class NuScenesDrivingDataset:
     def __init__(self, nusc_data_dir: str, nusc_version: str,
                  split: str = "val", img_size: int = 128,
                  white_bkgd: bool = False,
-                 index_file: Optional[str] = None):
+                 index_file: Optional[str] = None,
+                 external_pose_file: Optional[str] = None):
         from nerf_from_image_tpu.data.driving import (
             crop_for_inversion,
             get_mask_occ_from_ins,
@@ -228,6 +229,18 @@ class NuScenesDrivingDataset:
         self.instoken_per_ann = subset["instoken_per_ann"]
         self.anntokens_per_ins = subset["anntokens_per_ins"]
         self.sample_attr = subset["sample_attr"]
+
+        # Externally estimated poses (e.g. SUP-NeRF codes+poses.pth with an
+        # 'optimized_poses'[anntoken][cam] entry holding [init, refined]
+        # world2cam [3, 4] poses; reference: data/datasets.py:809-811,
+        # eval_nusc_persp.py:1171-1175).
+        self.optimized_poses = None
+        if external_pose_file is not None and os.path.exists(
+                external_pose_file):
+            import torch
+
+            saved = torch.load(external_pose_file, map_location="cpu")
+            self.optimized_poses = saved["optimized_poses"]
 
     def __len__(self):
         return len(self.all_valid_samples)
@@ -287,4 +300,10 @@ class NuScenesDrivingDataset:
             instoken=self.instoken_per_ann[anntoken],
             cam=cam,
         )
+        if self.optimized_poses is not None:
+            ext = np.asarray(self.optimized_poses[anntoken][cam],
+                             dtype=np.float32)
+            # [init, refined] pair; the eval consumes the refined pose
+            # (reference: eval_nusc_persp.py:1171 indexes [0, 1]).
+            sample["obj_pose_ext"] = ext[1] if ext.ndim == 3 else ext
         return sample

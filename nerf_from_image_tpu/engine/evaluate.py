@@ -189,3 +189,26 @@ class InversionReport:
         np.savez(path_prefix + ".npz", **flat)
         with open(path_prefix + ".txt", "w") as f:
             f.write(self.summary(fid_stats_real) + "\n")
+
+    def num_samples(self, metric: str = "psnr") -> int:
+        """Images accumulated so far at the first checkpoint (resume
+        cursor; reference resumes inversion by index, run.py:1858-1871)."""
+        step0 = self.items[self.checkpoint_steps[0]]
+        if metric not in step0:
+            return 0
+        return int(sum(np.size(v) for v in step0[metric]))
+
+    @classmethod
+    def load(cls, path_prefix: str) -> "InversionReport":
+        """Rebuilds a report from a saved .npz checkpoint."""
+        data = np.load(path_prefix + ".npz")
+        steps = sorted(
+            {int(k.split("/", 1)[0][len("step"):]) for k in data.files}
+        )
+        report = cls(steps)
+        for key in data.files:
+            step_str, metric = key.split("/", 1)
+            report.items[int(step_str[len("step"):])].setdefault(
+                metric, []
+            ).append(data[key])
+        return report

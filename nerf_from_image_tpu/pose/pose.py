@@ -193,10 +193,13 @@ def matrix_to_conditioning_vector(
     )
 
 
-def perturb_poses(tform_cam2world, avg_angle: float, *extra_args, seed=1234):
+def perturb_poses(tform_cam2world, avg_angle: float, *extra_args, seed=1234,
+                  target_distances=None):
     """Pose-robustness ablation: swap each pose for the dataset pose nearest
     a random target angular distance (reference: lib/pose_utils.py:171-186).
-    Host-side numpy; returns (poses, *extra) with the same permutation."""
+    Host-side numpy; returns (poses, *extra) with the same permutation.
+    `target_distances` overrides the random per-pose targets (exact golden
+    comparison across RNG implementations)."""
     poses = np.asarray(tform_cam2world)
     dists_all = np.asarray(
         jax.vmap(
@@ -205,11 +208,14 @@ def perturb_poses(tform_cam2world, avg_angle: float, *extra_args, seed=1234):
             )
         )(jnp.asarray(poses))
     )
-    rng = np.random.RandomState(seed)
+    if target_distances is None:
+        rng = np.random.RandomState(seed)
+        target_distances = rng.rand(len(poses)) * avg_angle * 2
     indices = []
     for i in range(len(poses)):
-        target = rng.rand() * avg_angle * 2
-        indices.append(int(np.abs(dists_all[i] - target).argmin()))
+        indices.append(
+            int(np.abs(dists_all[i] - target_distances[i]).argmin())
+        )
     out_extra = [
         (np.asarray(a)[indices].copy() if a is not None else None)
         for a in extra_args

@@ -11,9 +11,21 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
+    xla_flags = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if "collective_call_terminate" not in xla_flags:
+    # XLA:CPU's collective rendezvous has a stuck-detector that LOG(FATAL)s
+    # the whole process when participant threads don't arrive in time
+    # ("Termination timeout ... exceeded. Exiting to ensure a consistent
+    # program state"). With 8 virtual devices time-sharing a small host the
+    # default budget flakes under load — raise it far beyond any real
+    # deadlock window.
+    xla_flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3000"
+    )
+os.environ["XLA_FLAGS"] = xla_flags
 
 # The environment may pin JAX_PLATFORMS=axon (TPU tunnel) via sitecustomize
 # before conftest runs; override explicitly — tests must run on the local

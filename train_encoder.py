@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from nerf_from_image_tpu.utils.host_env import prepare_xla_flags
+
+prepare_xla_flags()
+
 import jax
 
 if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
