@@ -101,18 +101,21 @@ def generator_variables_from_checkpoint(restored) -> dict:
 
 
 def latest_checkpoint(directory: str, prefix: str = "checkpoint_"):
-    """Finds the newest checkpoint directory under `directory`."""
+    """Finds the newest checkpoint directory under `directory`.
+
+    `checkpoint_latest` (written every eval interval, like the reference's
+    checkpoint_latest.pth) wins over numbered milestone checkpoints; the
+    best-FID checkpoint is never auto-resumed (reference: run.py:133-143)."""
     if not os.path.isdir(directory):
         return None
+    if os.path.isdir(os.path.join(directory, prefix + "latest")):
+        return os.path.join(directory, prefix + "latest")
     candidates = [
-        d for d in os.listdir(directory) if d.startswith(prefix)
+        d
+        for d in os.listdir(directory)
+        if d.startswith(prefix) and d[len(prefix):].isdigit()
     ]
     if not candidates:
         return None
-
-    def step_of(name):
-        tail = name[len(prefix):]
-        return int(tail) if tail.isdigit() else -1
-
-    best = max(candidates, key=step_of)
+    best = max(candidates, key=lambda name: int(name[len(prefix):]))
     return os.path.join(directory, best)

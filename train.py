@@ -73,6 +73,40 @@ def main():
         max_images=args.max_images,
     )
 
+    if args.perturb_poses > 0:
+        # Pose-robustness ablation (reference: run.py:160-173).
+        import dataclasses as _dc
+
+        from nerf_from_image_tpu.pose.pose import perturb_poses
+
+        print("Perturbing poses", args.perturb_poses)
+        p_pose, p_focal, p_bbox = perturb_poses(
+            train_split.tform_cam2world, args.perturb_poses,
+            train_split.focal_length, train_split.bbox,
+        )
+        shared = train_eval_split is train_split or (
+            train_eval_split.tform_cam2world.shape
+            == train_split.tform_cam2world.shape
+        )
+        train_split = _dc.replace(
+            train_split, tform_cam2world=p_pose, focal_length=p_focal,
+            bbox=p_bbox,
+        )
+        if shared:
+            train_eval_split = _dc.replace(
+                train_eval_split, tform_cam2world=p_pose,
+                focal_length=p_focal, bbox=p_bbox,
+            )
+        else:
+            e_pose, e_focal, e_bbox = perturb_poses(
+                train_eval_split.tform_cam2world, args.perturb_poses,
+                train_eval_split.focal_length, train_eval_split.bbox,
+            )
+            train_eval_split = _dc.replace(
+                train_eval_split, tform_cam2world=e_pose,
+                focal_length=e_focal, bbox=e_bbox,
+            )
+
     n_chips = args.chips or jax.device_count()
     mesh = mesh_mod.make_mesh(n_data=n_chips,
                               devices=jax.devices()[:n_chips])
@@ -134,22 +168,35 @@ def main():
     state = gan.init_gan_state(config, model, disc, k_init, render_config)
 
     start_iter = 0
-    latest = ckpt.latest_checkpoint(checkpoint_dir)
+    if args.resume_from:
+        latest = args.resume_from
+        if not os.path.exists(latest):
+            raise ValueError(
+                f"Specified checkpoint {args.resume_from} does not exist!"
+            )
+    else:
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
     if latest is not None:
         print("Resuming from", latest)
         restored, restored_key = ckpt.load_train_checkpoint(
             latest, template=state
         )
-        state = jax.tree.map(
-            lambda t, r: r, state, restored
-        ) if not isinstance(restored, type(state)) else restored
-        if restored_key is not None:
-            key = restored_key
-        start_iter = int(
+        restored_iter = int(
             restored["iteration"]
             if isinstance(restored, dict)
             else restored.iteration
         )
+        if not args.resume_from and restored_iter < config.blur_warmup_iters:
+            # Warm-up was not completed — train from scratch instead
+            # (reference: run.py:134-143).
+            print("Aborting resume (training from scratch)")
+        else:
+            state = jax.tree.map(
+                lambda t, r: r, state, restored
+            ) if not isinstance(restored, type(state)) else restored
+            if restored_key is not None:
+                key = restored_key
+            start_iter = restored_iter
 
     state = mesh_mod.replicate(mesh, state)
 
@@ -252,6 +299,7 @@ def main():
 
     t_start = time.time()
     display_every = 5000
+    best_fid = float("inf")
     with jax.sharding.set_mesh(mesh):
         for i in range(start_iter, args.iterations):
             key, k = jax.random.split(key)
@@ -269,10 +317,24 @@ def main():
                 print(f"[{i}] im/s {imps:.2f}", m)
                 writer.scalars(m, i, prefix="loss/")
                 writer.scalar("img_per_sec", imps, i)
-                if fid_eval is not None and (i + 1) % display_every == 0:
-                    fid_m = fid_eval(state)
-                    print(f"[{i}] FID {fid_m['fid']:.2f}")
-                    writer.scalar("fid", fid_m["fid"], i)
+                if (i + 1) % display_every == 0:
+                    if fid_eval is not None:
+                        fid_m = fid_eval(state)
+                        print(f"[{i}] FID {fid_m['fid']:.2f}")
+                        writer.scalar("fid", fid_m["fid"], i)
+                        if fid_m["fid"] < best_fid:
+                            # Reference keeps a best-FID checkpoint
+                            # (run.py:1495-1516).
+                            best_fid = fid_m["fid"]
+                            ckpt.save_checkpoint(
+                                os.path.join(checkpoint_dir,
+                                             "checkpoint_best"),
+                                {"state": state, "key": key},
+                            )
+                    ckpt.save_checkpoint(
+                        os.path.join(checkpoint_dir, "checkpoint_latest"),
+                        {"state": state, "key": key},
+                    )
             if (i + 1) % 50000 == 0 or i + 1 == args.iterations:
                 path = os.path.join(checkpoint_dir, f"checkpoint_{i + 1}")
                 ckpt.save_checkpoint(path, {"state": state, "key": key})
