@@ -115,7 +115,10 @@ def main():
                 torch_interop.state_dict_to_variables(dict(variables), sd),
             )
 
-    encoder = BootstrapEncoder(latent_dim=args.latent_dim)
+    encoder = BootstrapEncoder(
+            latent_dim=args.latent_dim,
+            separate_backbones=args.inv_use_separate,
+        )
     enc_vars = None
     if args.coord_resume_from:
         from nerf_from_image_tpu.models.encoder import encoder_rename

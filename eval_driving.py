@@ -85,6 +85,77 @@ def cam_pose_to_render_frame(cam_pose_34, camera_flipped=True):
     return m
 
 
+def depth_panel(depth, mask, white_background):
+    """Depth map -> displayable [-1, 1] RGB panel: foreground depths are
+    centered on their median and scaled by 5 m; background is white (or
+    grey) (reference: eval_nusc_persp.py:566-587)."""
+    depth = np.asarray(depth)
+    mask = np.asarray(mask)
+    fg = depth[mask >= 0.95]
+    med = np.median(fg) if fg.size else 0.0
+    vis = (depth - med) / 5.0
+    vis = np.where(mask < 0.95, 1.0 if white_background else 0.0, vis)
+    return np.clip(np.stack([vis] * 3, axis=-1), -1, 1)
+
+
+def export_driving_demo(args, config_ds, obj_idx, it, sample, coords,
+                        mask_pred, metrics, out, out_p):
+    """Saves the per-object demo composite (reference:
+    eval_nusc_persp.py:553-802)."""
+    from nerf_from_image_tpu.utils.images import save_image_grid
+
+    panels = [np.asarray(sample["img"])[..., :3]]
+    if coords is not None:
+        mask_b = np.asarray(mask_pred)[0][..., None]
+        coords_img = np.clip(
+            np.asarray(coords)[0] * mask_b / config_ds.scene_range, -1, 1
+        )
+        if config_ds.white_background:
+            coords_img = coords_img + (1 - mask_b)
+        panels.append(coords_img)
+    panels.append(np.asarray(np.clip(out.rgb[0, ..., :3], -1, 1)))
+    panels.append(
+        depth_panel(out.depth[0], out.mask[0], config_ds.white_background)
+    )
+    if out_p is not None:
+        panels.append(np.asarray(np.clip(out_p.rgb[0, ..., :3], -1, 1)))
+        panels.append(
+            depth_panel(
+                out_p.depth[0], out_p.mask[0], config_ds.white_background
+            )
+        )
+    row = np.concatenate(panels, axis=1)
+
+    eval_str = (
+        "PSNR: {:.2f},  Depth Err: {:.2f}, R Err: {:.2f}, T Err: {:.2f}"
+    ).format(
+        float(np.mean(metrics["psnr"])),
+        float(np.mean(metrics["depth_error"])),
+        float(np.mean(metrics["rot_error"])),
+        float(np.mean(metrics["trans_error"])),
+    )
+    if "psnr_cross" in metrics:
+        eval_str += ", PSNR-C: {:.2f}".format(
+            float(np.mean(metrics["psnr_cross"]))
+        )
+    try:
+        import cv2
+
+        img8 = ((row / 2 + 0.5) * 255).clip(0, 255).astype(np.uint8)
+        img8 = cv2.putText(
+            img8.copy(), eval_str, (260, 10), cv2.FONT_HERSHEY_SIMPLEX,
+            0.4, (0, 0, 0),
+        )
+        row = img8.astype(np.float32) / 255 * 2 - 1
+    except ImportError:
+        print(eval_str)
+
+    out_dir = os.path.join("outputs", f"eval_{args.dataset}")
+    save_image_grid(
+        [[row]], os.path.join(out_dir, f"demo_obj{obj_idx}_{it}it.png")
+    )
+
+
 def main():
     from nerf_from_image_tpu import arguments
     from nerf_from_image_tpu.data.configs import get_dataset_config
@@ -136,7 +207,10 @@ def main():
             }
         print("Loaded generator from", args.resume_from)
 
-    encoder = BootstrapEncoder(latent_dim=args.latent_dim)
+    encoder = BootstrapEncoder(
+            latent_dim=args.latent_dim,
+            separate_backbones=args.inv_use_separate,
+        )
     enc_vars = None
     if args.coord_resume_from:
         if args.coord_resume_from.endswith(".pth"):
@@ -308,6 +382,7 @@ def main():
                         break
 
         def evaluate_at(step, z_cur, pose_cur):
+            out_p = None
             out, cam = render_for_eval(z_cur, pose_cur, target_center)
             pred = jnp.clip(out.rgb[..., :3], -1, 1)
             target = target_img[..., :3]
@@ -344,9 +419,11 @@ def main():
                     pred_p / 2 + 0.5, perm_img[..., :3] / 2 + 0.5,
                     reduction="none",
                 )
-            report.add(step, jax.device_get(m))
+            mh = jax.device_get(m)
+            report.add(step, mh)
+            return mh, out, out_p
 
-        evaluate_at(0, z_, pose_params)
+        mh, out_last, out_p_last = evaluate_at(0, z_, pose_params)
         key = jax.random.key(idx)
         z_cur, pose_cur = z_, pose_params
         done = 0
@@ -356,7 +433,17 @@ def main():
                 z_cur, pose_cur, target_img, k, n_steps=step - done
             )
             done = step
-            evaluate_at(step, z_cur, pose_cur)
+            mh, out_last, out_p_last = evaluate_at(step, z_cur, pose_cur)
+
+        if args.inv_export_demo_sample:
+            # Per-object side-by-side composite at the final checkpoint
+            # step (reference: eval_nusc_persp.py:553-802 — input | NOCS
+            # coords | recon | depth | cross-view recon | cross depth,
+            # with the metric readout printed on the image).
+            export_driving_demo(
+                args, config_ds, idx, niter, sample, coords, mask_pred,
+                mh, out_last, out_p_last,
+            )
 
         if (idx + 1) % 20 == 0 or idx + 1 == n_objects:
             elapsed = (time.time() - t0) / (idx + 1)

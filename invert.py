@@ -100,7 +100,10 @@ def main():
     if args.coord_resume_from:
         from nerf_from_image_tpu.models.encoder import BootstrapEncoder
 
-        encoder = BootstrapEncoder(latent_dim=args.latent_dim)
+        encoder = BootstrapEncoder(
+            latent_dim=args.latent_dim,
+            separate_backbones=args.inv_use_separate,
+        )
         if args.coord_resume_from.endswith(".pth"):
             from nerf_from_image_tpu.models.encoder import encoder_rename
             from nerf_from_image_tpu.utils import torch_interop
@@ -133,6 +136,9 @@ def main():
     inception = None
     inc_vars = None
     inception_weights = os.environ.get("NFI_INCEPTION_WEIGHTS")
+    if args.inv_export_demo_sample:
+        # Demo mode skips FID accumulation (reference: run.py:2093-2099).
+        inception_weights = None
     if inception_weights and os.path.exists(inception_weights):
         from nerf_from_image_tpu.models.inception import (
             FIDInceptionV3,
@@ -209,12 +215,43 @@ def main():
         eval_indices = eval_indices[: args.max_num_samples]
         eval_perm = eval_perm[: len(eval_indices)]
 
+    demo_mode = args.inv_export_demo_sample
+    if args.inv_manual_input_path:
+        # Demo inference on an externally supplied image: mask + crop it
+        # and splice it in as sample 0 (reference: run.py:68-74,
+        # data/loaders.py:228-237 insert_manual_image).
+        from nerf_from_image_tpu.data.loaders import (
+            get_coco_mapping,
+            load_manual_image,
+        )
+
+        manual = load_manual_image(
+            args.inv_manual_input_path,
+            args.resolution,
+            get_coco_mapping().get(args.dataset),
+        )
+        target_split.images = np.array(target_split.images)
+        # Keep as many channels as the split holds (mask-less datasets
+        # store plain RGB).
+        nc = target_split.images.shape[-1]
+        target_split.images[0] = manual["img"][..., :nc]
+        if target_split.bbox is not None:
+            target_split.bbox = np.array(target_split.bbox)
+            target_split.bbox[0] = manual["normalized_bbox"]
+        eval_indices = np.asarray([0])
+        eval_perm = eval_perm[:1]
+    elif demo_mode:
+        # Randomized demo sample order (reference: run.py:1817-1821).
+        shuffle_idx = np.random.RandomState(1).permutation(len(eval_indices))
+        eval_indices = eval_indices[shuffle_idx]
+        eval_perm = eval_perm[shuffle_idx]
+
     report_dir = os.path.join(args.root_path, "reports",
                               f"inv_{args.dataset}")
     report_ckpt_prefix = os.path.join(report_dir, "report_checkpoint")
     report = eval_mod.InversionReport(checkpoint_steps)
     resume_idx = 0
-    if os.path.exists(report_ckpt_prefix + ".npz"):
+    if not demo_mode and os.path.exists(report_ckpt_prefix + ".npz"):
         # Resumable reports (reference: run.py:1858-1871, 2329-2336).
         report = eval_mod.InversionReport.load(report_ckpt_prefix)
         resume_idx = report.num_samples()
@@ -222,6 +259,29 @@ def main():
     bs = args.batch_size
     key = jax.random.key(3)
     t0 = time.time()
+
+    # Image renderer for demo composites and TB grids: front/novel views
+    # with normal maps (reference: run.py:2040-2159).
+    import dataclasses as _dc
+
+    from nerf_from_image_tpu.engine.render import render as render_fn
+    from nerf_from_image_tpu.utils import tb
+
+    demo_config = _dc.replace(
+        render_config, compute_normals=bool(args.use_sdf)
+    )
+
+    def _demo_render(z, cam, focal):
+        out, _ = render_fn(
+            demo_config, model, variables, cam, focal,
+            z * inv_config.lr_gain_z, force_no_cam_grad=True,
+        )
+        return out
+
+    demo_render = jax.jit(_demo_render)
+    # TensorBoard sink for the inversion (reference: run.py:1779-1783,
+    # 2104-2131 — scalar loss curves + first-batch image grids).
+    writer = tb.Logger(os.path.join(report_dir, "tb"))
 
     for start in range(resume_idx, len(eval_indices), bs):
         idx = eval_indices[start : start + bs]
@@ -295,6 +355,21 @@ def main():
         )
         report.add(0, take_real(jax.device_get(metrics0)), recovered)
 
+        first_batch = start == resume_idx
+        if first_batch:
+            # First-batch image grids at checkpoint step 0 (reference:
+            # run.py:2104-2110).
+            writer.images("img/ref", np.asarray(target_img[..., :3]), 0)
+            cam0, focal0 = inv_mod.build_camera(
+                pose_params, config_ds.camera_flipped
+            )
+            out0 = demo_render(z0, cam0, focal0)
+            writer.images(
+                "img/recon_front",
+                np.asarray(jnp.clip(out0.rgb[..., :3], -1, 1)), 0,
+            )
+
+        z_f, pose_f = z0, pose_params
         if n_steps > 0:
             key, k = jax.random.split(key)
             z_f, pose_f, losses = invert(
@@ -314,6 +389,85 @@ def main():
                            "s": np.asarray(pose_f.s),
                            "t2": np.asarray(pose_f.t2),
                        }))
+            if first_batch:
+                # Per-step loss curve + final grids (reference:
+                # run.py:2104-2131, loss scalars around :2290-2304).
+                for t, lv in enumerate(np.asarray(losses).reshape(-1)):
+                    writer.scalar("loss/inversion", float(lv), t)
+                cam_fv, focal_fv = inv_mod.build_camera(
+                    pose_f, config_ds.camera_flipped
+                )
+                out_fv = demo_render(z_f, cam_fv, focal_fv)
+                writer.images(
+                    "img/recon_front",
+                    np.asarray(jnp.clip(out_fv.rgb[..., :3], -1, 1)),
+                    n_steps,
+                )
+                writer.images(
+                    "img/mask_front",
+                    np.asarray(jnp.clip(out_fv.mask, 0, 1))[..., None],
+                    n_steps,
+                )
+                if out_fv.normals is not None:
+                    writer.images(
+                        "img/normals_front",
+                        np.asarray(jnp.clip(out_fv.normals, -1, 1)),
+                        n_steps,
+                    )
+                writer.flush()
+        if demo_mode:
+            # Side-by-side composite at the final checkpoint step, first
+            # batch only (reference: run.py:2058-2159, 2325-2327).
+            from nerf_from_image_tpu.utils.images import (
+                normals_panel,
+                save_image_grid,
+            )
+
+            cam_f, focal_f = inv_mod.build_camera(
+                pose_f, config_ds.camera_flipped
+            )
+            out_f = demo_render(z_f, cam_f, focal_f)
+            out_n = demo_render(
+                z_f,
+                jnp.asarray(sel_perm.tform_cam2world),
+                jnp.asarray(sel_perm.focal_length)
+                if sel_perm.focal_length is not None else None,
+            )
+            rows = []
+            for b in range(n_real):
+                panels = [np.asarray(target_img)[b, ..., :3]]
+                if enc_vars is not None and coords is not None:
+                    mask_b = np.asarray(mask_pred)[b][..., None]
+                    coords_img = np.clip(
+                        np.asarray(coords)[b] * mask_b
+                        / config_ds.scene_range, -1, 1,
+                    )
+                    if config_ds.white_background:
+                        coords_img = coords_img + (1 - mask_b)
+                    panels.append(coords_img)
+                panels.append(
+                    np.asarray(jnp.clip(out_f.rgb[b, ..., :3], -1, 1))
+                )
+                if out_f.normals is not None:
+                    panels.append(
+                        normals_panel(out_f.normals[b], out_f.mask[b])
+                    )
+                panels.append(
+                    np.asarray(jnp.clip(out_n.rgb[b, ..., :3], -1, 1))
+                )
+                if out_n.normals is not None:
+                    panels.append(
+                        normals_panel(out_n.normals[b], out_n.mask[b])
+                    )
+                rows.append(panels)
+            out_fname = (
+                f"demo_manual_{args.dataset}_{n_steps}it.png"
+                if args.inv_manual_input_path
+                else f"sample_{args.dataset}_{n_steps}it.png"
+            )
+            save_image_grid(rows, os.path.join("outputs", out_fname))
+            break
+
         done = start + n_real
         print(
             f"[{done}/{len(eval_indices)}] "
@@ -323,6 +477,10 @@ def main():
             # Resumable report checkpoint every ~512 images (reference:
             # run.py:2329-2336).
             report.save(report_ckpt_prefix)
+
+    if demo_mode:
+        # No consolidated report in demo mode (reference: run.py:2338).
+        return
 
     # Real-image FID stats for the front/random recon FIDs (reference:
     # run.py:2355-2404) — only meaningful with real Inception weights.

@@ -200,3 +200,112 @@ def autodetect_dataset(experiment_name: str) -> str:
     if not found:
         raise RuntimeError("Unable to autodetect dataset")
     return found
+
+
+def get_coco_mapping() -> dict:
+    """Dataset -> COCO class id for demo-image detection (reference:
+    data/loaders.py:140-149)."""
+    return {
+        "p3d_car": 2,
+        "cub": 14,
+        "imagenet_car": 2,
+        "imagenet_airplane": 4,
+        "imagenet_motorcycle": 3,
+        "imagenet_zebra": 22,
+        "imagenet_elephant": 20,
+    }
+
+
+def load_manual_image(path_or_url: str, img_size: int,
+                      coco_class_id: Optional[int] = None) -> dict:
+    """Loads an externally supplied demo image and prepares it for
+    inversion: mask extraction, padded square-bbox crop, resize,
+    background removal (reference: lib/utils.py:116-161 +
+    data/loaders.py:228-237 insert_manual_image).
+
+    Mask sources, in priority order:
+      1. the image's alpha channel (RGBA input);
+      2. a sibling `<stem>_mask.png` (white = foreground);
+      3. detectron2 Mask-RCNN on `coco_class_id` (only if detectron2 is
+         importable — it is an optional dependency; the reference requires
+         it unconditionally).
+
+    Returns {'img': [S, S, 4] float32 in [-1, 1] (RGB * mask, mask),
+             'normalized_bbox': [2, 2] crop rectangle in [-1, 1] coords}.
+    """
+    import imageio.v2 as imageio
+
+    if path_or_url.startswith("http"):
+        raise ValueError(
+            "URL inputs need network access; download the image first"
+        )
+    img = np.asarray(imageio.imread(path_or_url)).astype(np.float64)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    img = img / 255.0
+
+    mask = None
+    if img.shape[-1] == 4:
+        mask = (img[..., 3:] > 0.5).astype(np.float64)
+        img = img[..., :3]
+    else:
+        img = img[..., :3]
+        stem, _ = os.path.splitext(path_or_url)
+        mask_path = stem + "_mask.png"
+        if os.path.exists(mask_path):
+            m = np.asarray(imageio.imread(mask_path)).astype(np.float64)
+            if m.ndim == 3:
+                m = m[..., 0]
+            mask = (m > 127)[..., None].astype(np.float64)
+    if mask is None:
+        try:
+            import detectron2.config
+            import detectron2.engine
+            import detectron2.model_zoo
+        except ImportError as e:
+            raise RuntimeError(
+                "No mask found: supply an RGBA image or a <stem>_mask.png "
+                "(detectron2 auto-masking is unavailable here)"
+            ) from e
+        cfg_file = (
+            "COCO-InstanceSegmentation/mask_rcnn_X_101_32x8d_FPN_3x.yaml"
+        )
+        cfg = detectron2.config.get_cfg()
+        cfg.merge_from_file(detectron2.model_zoo.get_config_file(cfg_file))
+        cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.5
+        cfg.MODEL.WEIGHTS = detectron2.model_zoo.get_checkpoint_url(cfg_file)
+        predictor = detectron2.engine.DefaultPredictor(cfg)
+        outputs = predictor(
+            (img[:, :, ::-1] * 255).astype(np.uint8)
+        )["instances"]
+        outputs = outputs[outputs.pred_classes == coco_class_id]
+        if len(outputs) == 0:
+            raise RuntimeError(
+                "Could not detect any object in the provided image"
+            )
+        areas = outputs.pred_masks.sum(dim=[1, 2])
+        best = int(areas.argmax())
+        mask = np.asarray(
+            outputs.pred_masks[best].cpu().float()
+        )[..., None].astype(np.float64)
+
+    ys, xs = np.nonzero(mask[..., 0] > 0.5)
+    if len(ys) == 0:
+        raise RuntimeError("Empty mask in the provided image")
+    bbox = [float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())]
+    bbox = image_ops.perturb_bbox(bbox, pf=0.05)
+    bbox = image_ops.square_bbox(bbox)
+    nbbox = image_ops.normalized_bbox(bbox, img.shape[0], img.shape[1])
+
+    img_c = image_ops.crop_padded(img, bbox, bgval=1)
+    mask_c = image_ops.crop_padded(mask, bbox, bgval=0)
+    scale = img_size / float(max(img_c.shape[0], img_c.shape[1]))
+    img_r, _ = image_ops.resize_area(img_c, scale)
+    mask_r, _ = image_ops.resize_area(mask_c, scale)
+    mask_out = mask_r[..., 0] if mask_r.ndim == 3 else mask_r
+    img_out = (img_r * 2 - 1) * mask_out[..., None]
+    img_out = np.concatenate((img_out, mask_out[..., None]), axis=-1)
+    return {
+        "img": img_out.astype(np.float32),
+        "normalized_bbox": nbbox.astype(np.float32),
+    }

@@ -168,3 +168,81 @@ class TestSynthetic:
         assert o.inv_no_optimize_pose and o.inv_use_testset
         o = get_train_overrides("imagenet_elephant")
         assert o.r1 == 10.0
+
+
+class TestManualImage:
+    """load_manual_image: demo ingestion of external images (reference:
+    lib/utils.py:116-161 + data/loaders.py:228-237)."""
+
+    def _write_rgba(self, tmp_path, name="car.png"):
+        import imageio.v2 as imageio
+
+        rng = np.random.RandomState(0)
+        img = (rng.rand(40, 60, 4) * 255).astype(np.uint8)
+        img[..., 3] = 0
+        img[10:30, 20:50, 3] = 255
+        path = str(tmp_path / name)
+        imageio.imwrite(path, img)
+        return path, img
+
+    def test_rgba_alpha_mask(self, tmp_path):
+        from nerf_from_image_tpu.data import loaders
+
+        path, _ = self._write_rgba(tmp_path)
+        out = loaders.load_manual_image(path, 16)
+        assert out["img"].shape == (16, 16, 4)
+        assert out["normalized_bbox"].shape == (2, 2)
+        mask = out["img"][..., 3]
+        assert 0.0 < mask.mean() < 1.0
+        # Outside the mask the RGB is zeroed (reference multiplies by mask).
+        outside = out["img"][..., :3][mask < 0.01]
+        # rgb is multiplied by the (area-resized, hence edge-blended) mask,
+        # so near-zero-mask pixels are bounded by the mask value itself.
+        assert np.abs(outside).max() <= 0.01
+
+    def test_sibling_mask_file(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from nerf_from_image_tpu.data import loaders
+
+        rng = np.random.RandomState(1)
+        rgb = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        m = np.zeros((32, 32), np.uint8)
+        m[8:24, 8:24] = 255
+        imageio.imwrite(str(tmp_path / "bird.png"), rgb)
+        imageio.imwrite(str(tmp_path / "bird_mask.png"), m)
+        out = loaders.load_manual_image(str(tmp_path / "bird.png"), 16)
+        assert out["img"].shape == (16, 16, 4)
+
+    def test_missing_mask_raises(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from nerf_from_image_tpu.data import loaders
+
+        rgb = (np.random.RandomState(2).rand(8, 8, 3) * 255).astype(np.uint8)
+        imageio.imwrite(str(tmp_path / "x.png"), rgb)
+        with pytest.raises(RuntimeError):
+            loaders.load_manual_image(str(tmp_path / "x.png"), 16)
+
+    def test_coco_mapping(self):
+        from nerf_from_image_tpu.data import loaders
+
+        mapping = loaders.get_coco_mapping()
+        assert mapping["p3d_car"] == 2 and mapping["cub"] == 14
+
+
+class TestImageGrid:
+    def test_save_image_grid(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from nerf_from_image_tpu.utils.images import save_image_grid
+
+        rows = [
+            [np.zeros((4, 4, 3)), np.ones((4, 4, 3))],
+            [np.full((4, 4, 3), -1.0), np.zeros((4, 4, 3))],
+        ]
+        path = str(tmp_path / "grid.png")
+        save_image_grid(rows, path)
+        grid = imageio.imread(path)
+        assert grid.shape[:2] == (8, 8)
+        assert grid[0, 7, 0] == 255 and grid[7, 0, 0] == 0

@@ -137,3 +137,57 @@ class TestKnownKPnP:
             np.asarray(w2c), np.stack(w2c_gt), rtol=1e-3, atol=2e-3
         )
         assert np.asarray(err).max() < 1e-3
+
+
+class TestDrivingDemoExport:
+    """Per-object demo composites (reference: eval_nusc_persp.py:553-802)."""
+
+    def test_depth_panel(self):
+        import eval_driving
+
+        depth = np.full((8, 8), 10.0)
+        depth[2:6, 2:6] = 12.0
+        mask = np.zeros((8, 8))
+        mask[2:6, 2:6] = 1.0
+        panel = eval_driving.depth_panel(depth, mask, white_background=True)
+        assert panel.shape == (8, 8, 3)
+        # Background is white (1.0); fg is centered on its median (0.0).
+        assert panel[0, 0, 0] == 1.0
+        assert abs(panel[3, 3, 0]) < 1e-6
+
+    def test_export_composite(self, tmp_path, monkeypatch):
+        import types
+
+        import eval_driving
+        from nerf_from_image_tpu.data.configs import get_dataset_config
+        from nerf_from_image_tpu.ops.compositing import CompositeOutput
+
+        monkeypatch.chdir(tmp_path)
+        args = types.SimpleNamespace(dataset="nusc")
+        config_ds = get_dataset_config("p3d_car")
+        rng = np.random.RandomState(0)
+        res = 16
+        out = CompositeOutput(
+            rgb=rng.rand(1, res, res, 3).astype(np.float32) * 2 - 1,
+            depth=np.full((1, res, res), 5.0, np.float32),
+            mask=np.ones((1, res, res), np.float32),
+            normals=None, semantics=None,
+        )
+        metrics = {
+            "psnr": np.asarray([20.0]), "depth_error": np.asarray([0.3]),
+            "rot_error": np.asarray([5.0]), "trans_error": np.asarray([0.2]),
+        }
+        sample = {"img": rng.rand(res, res, 4).astype(np.float32) * 2 - 1}
+        coords = rng.rand(1, res, res, 3).astype(np.float32)
+        mask_pred = np.ones((1, res, res), np.float32)
+        eval_driving.export_driving_demo(
+            args, config_ds, 3, 50, sample, coords, mask_pred, metrics,
+            out, out,
+        )
+        import imageio.v2 as imageio
+
+        path = tmp_path / "outputs" / "eval_nusc" / "demo_obj3_50it.png"
+        assert path.exists()
+        grid = imageio.imread(str(path))
+        # input | coords | recon | depth | cross recon | cross depth
+        assert grid.shape[:2] == (res, res * 6)
