@@ -51,7 +51,7 @@ def main():
     from nerf_from_image_tpu.engine.render import RenderConfig, render
     from nerf_from_image_tpu.models.encoder import BootstrapEncoder
     from nerf_from_image_tpu.models.generator import Generator
-    from nerf_from_image_tpu.models.lpips import LPIPS
+    from nerf_from_image_tpu.models.lpips import LPIPS, init_lpips_variables
     from nerf_from_image_tpu.pose import pnp
     from nerf_from_image_tpu.pose.pose import invert_space
 
@@ -140,10 +140,8 @@ def main():
         )
 
     lpips_model = LPIPS()
-    lpips_vars = lpips_model.init(
-        jax.random.key(2),
-        jnp.zeros((1, args.resolution, args.resolution, 3)),
-        jnp.zeros((1, args.resolution, args.resolution, 3)),
+    lpips_vars = init_lpips_variables(
+        lpips_model, jax.random.key(2), args.resolution
     )
 
     inv_config = inv_mod.InversionConfig(

@@ -40,7 +40,7 @@ def main():
     from nerf_from_image_tpu.engine import inversion as inv_mod
     from nerf_from_image_tpu.engine.render import RenderConfig
     from nerf_from_image_tpu.models.generator import Generator
-    from nerf_from_image_tpu.models.lpips import LPIPS
+    from nerf_from_image_tpu.models.lpips import LPIPS, init_lpips_variables
     from nerf_from_image_tpu.pose import pnp
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
@@ -87,9 +87,8 @@ def main():
             print("Loaded checkpoint", ckpt_path)
 
     lpips_model = LPIPS()
-    lpips_vars = lpips_model.init(
-        jax.random.key(1), jnp.zeros((1, args.resolution, args.resolution, 3)),
-        jnp.zeros((1, args.resolution, args.resolution, 3)),
+    lpips_vars = init_lpips_variables(
+        lpips_model, jax.random.key(1), args.resolution
     )
 
     # Bootstrap encoder: latent + pose first guess (reference:

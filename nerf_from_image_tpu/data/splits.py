@@ -139,3 +139,37 @@ class EndlessSampler:
         out = self._pool[:batch_size]
         self._pool = self._pool[batch_size:]
         return np.asarray(out, np.int64)
+
+
+class StepIndexedSampler:
+    """Shuffled endless index stream addressed purely by (seed, step).
+
+    Resume-exact without persisted state: the reference checkpoints the
+    sampler pointer and numpy RNG (reference: run.py:1475-1516,
+    lib/utils.py:87-113 get_state/set_state); here the stream is a pure
+    function of the global step, so resuming at iteration i reproduces the
+    identical batch sequence with nothing to save.
+    """
+
+    def __init__(self, dataset_size: int, seed: int = 1234):
+        self.dataset_size = dataset_size
+        self.seed = seed
+        self._perm_cache = {}
+
+    def _perm(self, epoch: int) -> np.ndarray:
+        if epoch not in self._perm_cache:
+            if len(self._perm_cache) > 4:
+                self._perm_cache.clear()
+            self._perm_cache[epoch] = np.random.RandomState(
+                self.seed + epoch
+            ).permutation(self.dataset_size)
+        return self._perm_cache[epoch]
+
+    def __call__(self, step: int, batch_size: int) -> np.ndarray:
+        positions = step * batch_size + np.arange(batch_size)
+        epochs = positions // self.dataset_size
+        offsets = positions % self.dataset_size
+        return np.asarray(
+            [self._perm(int(e))[int(o)] for e, o in zip(epochs, offsets)],
+            np.int64,
+        )

@@ -93,3 +93,141 @@ def evaluate_fid(
         fid_mod.frechet_distance(mu, sigma, real_stats[0], real_stats[1])
     )
     return {"fid": value, "n_images": len(activations)}
+
+
+def make_recon_eval_fn(
+    render_config: RenderConfig,
+    model,
+    inception_model=None,
+    inception_vars=None,
+    lpips_model=None,
+    lpips_vars=None,
+):
+    """Jittable eval batch for the training-time evaluate() modes
+    (reference: run.py:1200-1360): generation (no target) and
+    reconstruction front/random (encoder-conditional, target images
+    provided). Returns rendered maps, per-sample metrics when a target is
+    given, and Inception activations when the model is provided."""
+
+    def eval_batch(variables, z, pose, focal, center=None, bbox=None,
+                   image_in=None, target=None):
+        out, _ = render(
+            render_config, model, variables, pose, focal, z,
+            center=center, bbox=bbox, image=image_in,
+            force_no_cam_grad=True,
+        )
+        pred = jnp.clip(out.rgb[..., :3], -1.0, 1.0)
+        res = {"rgb": pred, "depth": out.depth, "mask": out.mask}
+        if target is not None:
+            from nerf_from_image_tpu.metrics import image as image_metrics
+
+            res["psnr"] = image_metrics.psnr(
+                pred / 2 + 0.5, target[..., :3] / 2 + 0.5, reduction="none"
+            )
+            res["ssim"] = image_metrics.ssim(
+                pred / 2 + 0.5, target[..., :3] / 2 + 0.5, reduction="none"
+            )
+            if lpips_model is not None:
+                res["lpips"] = lpips_model.apply(
+                    lpips_vars, pred, target[..., :3]
+                ).reshape(-1)
+            if target.shape[-1] > 3:
+                res["iou"] = image_metrics.iou(
+                    out.mask, target[..., 3], reduction="none"
+                )
+        if inception_model is not None:
+            res["activations"] = inception_model.apply(
+                inception_vars, pred / 2 + 0.5
+            )
+        return res
+
+    return eval_batch
+
+
+def evaluate_recon(
+    eval_batch_fn,
+    variables,
+    z_fid: np.ndarray,
+    split,
+    eval_indices: np.ndarray,
+    real_stats=None,
+    batch_size: int = 32,
+    recon_mode: Optional[str] = None,
+    perm_indices: Optional[np.ndarray] = None,
+    views_per_object: Optional[int] = None,
+    input_images: Optional[np.ndarray] = None,
+) -> Dict[str, object]:
+    """Host driver for the training-time evaluate() (reference:
+    run.py:1200-1401).
+
+    recon_mode None renders z_fid at the eval poses (generation FID);
+    'front' renders at each eval image's own pose and scores against it;
+    'random' renders at the paired novel-view pose (scored only when the
+    dataset has >1 view per object). `input_images` supplies the
+    encoder-conditional image inputs (uncropped train images, indexed by
+    the ORIGINAL eval index — reference: run.py:1236-1243).
+
+    Returns mean metrics, 'fid' when real_stats given, and the first
+    batch's rendered maps for TensorBoard grids.
+    """
+    n = len(eval_indices)
+    pose_indices = eval_indices
+    if recon_mode == "random":
+        pose_indices = perm_indices
+    score = recon_mode == "front" or (
+        recon_mode == "random"
+        and views_per_object is not None
+        and views_per_object > 1
+    )
+
+    acts = []
+    sums: Dict[str, float] = {}
+    count = 0
+    first_batch = None
+    for i in range(0, n, batch_size):
+        idx = pose_indices[i : i + batch_size]
+        sel = split.select(idx)
+        target = (
+            jnp.asarray(sel.images) if score and sel.images is not None
+            else None
+        )
+        image_in = None
+        if input_images is not None:
+            image_in = jnp.asarray(
+                input_images[eval_indices[i : i + batch_size]][..., :3]
+            )
+        res = eval_batch_fn(
+            variables,
+            jnp.asarray(z_fid[i : i + batch_size]),
+            jnp.asarray(sel.tform_cam2world),
+            jnp.asarray(sel.focal_length)
+            if sel.focal_length is not None else None,
+            jnp.asarray(sel.center) if sel.center is not None else None,
+            jnp.asarray(sel.bbox) if sel.bbox is not None else None,
+            image_in,
+            target,
+        )
+        res = jax.device_get(res)
+        if "activations" in res:
+            acts.append(res.pop("activations"))
+        bsz = len(idx)
+        for k in ("psnr", "ssim", "lpips", "iou"):
+            if k in res:
+                sums[k] = sums.get(k, 0.0) + float(np.sum(res[k]))
+        count += bsz
+        if first_batch is None:
+            first_batch = {
+                k: res[k] for k in ("rgb", "depth", "mask") if k in res
+            }
+
+    out: Dict[str, object] = {f"{k}": v / max(count, 1)
+                              for k, v in sums.items()}
+    if acts and real_stats is not None:
+        activations = jnp.asarray(np.concatenate(acts))
+        mu, sigma = fid_mod.calculate_stats(activations)
+        out["fid"] = float(
+            fid_mod.frechet_distance(mu, sigma, real_stats[0], real_stats[1])
+        )
+    out["n_images"] = count
+    out["first_batch"] = first_batch
+    return out

@@ -146,3 +146,29 @@ def _slice_of(pos):
     if pos <= 22:
         return 4
     return 5
+
+
+def init_lpips_variables(model, key, resolution, weights_path=None):
+    """Initializes LPIPS variables, loading the pretrained torch weights
+    when available — `weights_path` argument or the NFI_LPIPS_WEIGHTS env
+    var pointing at an `lpips` package VGG16 state dict (reference:
+    lib/metrics.py:106-146 constructs lpips.LPIPS(net='vgg'), which
+    downloads those weights). Without weights the deterministic random
+    features documented above are kept."""
+    import os
+
+    variables = model.init(
+        key,
+        jnp.zeros((1, resolution, resolution, 3)),
+        jnp.zeros((1, resolution, resolution, 3)),
+    )
+    weights_path = weights_path or os.environ.get("NFI_LPIPS_WEIGHTS")
+    if weights_path and os.path.exists(weights_path):
+        from nerf_from_image_tpu.utils import torch_interop
+
+        state = torch_interop.load_torch_checkpoint(weights_path)
+        variables = jax.tree.map(
+            jnp.asarray, lpips_state_to_variables(dict(variables), state)
+        )
+        print("Loaded LPIPS weights from", weights_path)
+    return variables

@@ -341,3 +341,66 @@ class TestDualEncoderModes:
             state1, b1, random_batch(rng, 2, with_images=True),
             jax.random.key(2))
         assert np.isfinite(float(dm["loss_d_real_uncond"]))
+
+
+class TestTrainTimeEval:
+    """Training-time evaluate(): generation + recon modes (reference:
+    run.py:1200-1401)."""
+
+    def _setup(self):
+        from nerf_from_image_tpu.data.splits import (
+            DatasetSplit,
+            compute_view_perm,
+        )
+        from nerf_from_image_tpu.engine import gan_eval
+
+        model, _ = tiny_models()
+        _, render_config = tiny_configs()
+        variables = jax.jit(lambda k: model.init(k, method="init_all"))(
+            jax.random.key(0)
+        )
+        rng = np.random.RandomState(0)
+        n = 6
+        poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        poses[:, 2, 3] = 1.5
+        split = DatasetSplit(
+            images=rng.rand(n, 16, 16, 4).astype(np.float32) * 2 - 1,
+            tform_cam2world=poses,
+            focal_length=np.full((n,), 1.2, np.float32),
+        )
+        eval_indices = np.arange(n)
+        perm = compute_view_perm(eval_indices, views_per_object=3)
+        z_fid = rng.standard_normal((n, 64)).astype(np.float32)
+        recon_fn = jax.jit(
+            gan_eval.make_recon_eval_fn(render_config, model)
+        )
+        return gan_eval, recon_fn, variables, z_fid, split, eval_indices, perm
+
+    def test_generation_mode(self):
+        gan_eval, fn, v, z, split, idx, _ = self._setup()
+        r = gan_eval.evaluate_recon(fn, v, z, split, idx, batch_size=3)
+        assert r["n_images"] == 6
+        assert r["first_batch"]["rgb"].shape == (3, 16, 16, 3)
+        assert "psnr" not in r  # no target scoring in generation mode
+
+    def test_front_mode_scores(self):
+        gan_eval, fn, v, z, split, idx, perm = self._setup()
+        r = gan_eval.evaluate_recon(
+            fn, v, z, split, idx, batch_size=3, recon_mode="front",
+            views_per_object=3,
+        )
+        assert "psnr" in r and "ssim" in r and "iou" in r
+        assert np.isfinite(r["psnr"])
+
+    def test_random_mode_single_view_skips_scores(self):
+        gan_eval, fn, v, z, split, idx, perm = self._setup()
+        r = gan_eval.evaluate_recon(
+            fn, v, z, split, idx, batch_size=3, recon_mode="random",
+            perm_indices=perm, views_per_object=1,
+        )
+        assert "psnr" not in r
+        r2 = gan_eval.evaluate_recon(
+            fn, v, z, split, idx, batch_size=3, recon_mode="random",
+            perm_indices=perm, views_per_object=3,
+        )
+        assert "psnr" in r2

@@ -41,7 +41,7 @@ def main():
 
     from nerf_from_image_tpu import arguments
     from nerf_from_image_tpu.data.loaders import get_train_overrides, load_dataset
-    from nerf_from_image_tpu.data.splits import EndlessSampler
+    from nerf_from_image_tpu.data.splits import StepIndexedSampler
     from nerf_from_image_tpu.engine import gan
     from nerf_from_image_tpu.engine.render import RenderConfig
     from nerf_from_image_tpu.models.discriminator import Discriminator
@@ -200,11 +200,14 @@ def main():
 
     state = mesh_mod.replicate(mesh, state)
 
-    rng = np.random.RandomState(1234)
-    sampler = EndlessSampler(len(train_split), rng)
+    # Step-indexed sampler: the batch stream is a pure function of the
+    # iteration, so resume reproduces the exact sequence with no persisted
+    # sampler state (the reference checkpoints its sampler pointer + numpy
+    # RNG instead: run.py:1475-1516).
+    sampler = StepIndexedSampler(len(train_split), seed=1234)
 
-    def host_batch(with_images: bool):
-        idx = sampler(args.batch_size)
+    def host_batch(draw: int, with_images: bool):
+        idx = sampler(draw, args.batch_size)
         sel = train_split.select(idx)
         batch = {"pose": jnp.asarray(sel.tform_cam2world)}
         if sel.focal_length is not None:
@@ -283,19 +286,66 @@ def main():
         )
         eval_indices = compute_eval_indices(train_eval_split)
         z_fid = draw_eval_latents(len(eval_indices), args.latent_dim)
-        fid_batch_fn = jax.jit(
-            gan_eval.make_fid_eval_fn(render_config, model, inception,
-                                      inc_vars)
+        lpips_vars = None
+        lpips_model = None
+        if args.use_encoder:
+            # Encoder-conditional recon eval also scores LPIPS
+            # (reference: run.py:1283-1285).
+            from nerf_from_image_tpu.models.lpips import (
+                LPIPS,
+                init_lpips_variables,
+            )
+
+            lpips_model = LPIPS()
+            lpips_vars = init_lpips_variables(
+                lpips_model, jax.random.key(98), args.resolution
+            )
+        recon_fn = jax.jit(
+            gan_eval.make_recon_eval_fn(render_config, model, inception,
+                                        inc_vars, lpips_model, lpips_vars)
+        )
+        from nerf_from_image_tpu.data.splits import compute_view_perm
+
+        eval_perm = compute_view_perm(
+            eval_indices, config_ds.views_per_object
         )
 
         def fid_eval(st):
+            """Training-time evaluate(): generation FID, or front+random
+            reconstruction metrics in encoder-conditional mode (reference:
+            run.py:1365-1401 — current_fid follows the random-view recon
+            FID when use_encoder)."""
             variables = {"params": st.params_ema}
             if st.buffers_g:
                 variables["buffers"] = st.buffers_g
-            return gan_eval.evaluate_fid(
-                fid_batch_fn, variables, z_fid, train_eval_split,
-                eval_indices, real_stats,
+            if not args.use_encoder:
+                r = gan_eval.evaluate_recon(
+                    recon_fn, variables, z_fid, train_eval_split,
+                    eval_indices, real_stats,
+                )
+                return {"fid": r["fid"], "first_batch": r["first_batch"]}
+            rf = gan_eval.evaluate_recon(
+                recon_fn, variables, z_fid, train_eval_split, eval_indices,
+                real_stats, recon_mode="front",
+                views_per_object=config_ds.views_per_object,
+                input_images=train_split.images,
             )
+            rr = gan_eval.evaluate_recon(
+                recon_fn, variables, z_fid, train_eval_split, eval_indices,
+                real_stats, recon_mode="random", perm_indices=eval_perm,
+                views_per_object=config_ds.views_per_object,
+                input_images=train_split.images,
+            )
+            out = {"fid": rr.get("fid", rf.get("fid")),
+                   "first_batch": rf["first_batch"]}
+            for k, v in rf.items():
+                if k not in ("first_batch", "n_images", "fid"):
+                    out[f"recon_front/{k}"] = v
+            out["recon_front/fid"] = rf.get("fid")
+            for k, v in rr.items():
+                if k not in ("first_batch", "n_images", "fid"):
+                    out[f"recon_random/{k}"] = v
+            return out
 
     t_start = time.time()
     display_every = 5000
@@ -304,10 +354,11 @@ def main():
         for i in range(start_iter, args.iterations):
             key, k = jax.random.split(key)
             if i % 2 == 0:
-                state, metrics = g_step(state, host_batch(False), k)
+                state, metrics = g_step(state, host_batch(2 * i, False), k)
             else:
                 state, metrics = d_step(
-                    state, host_batch(True), host_batch(False), k
+                    state, host_batch(2 * i, True),
+                    host_batch(2 * i + 1, False), k
                 )
             if i == 3 or (i + 1) % display_every == 0:
                 m = {k_: float(v) for k_, v in metrics.items()}
@@ -322,6 +373,24 @@ def main():
                         fid_m = fid_eval(state)
                         print(f"[{i}] FID {fid_m['fid']:.2f}")
                         writer.scalar("fid", fid_m["fid"], i)
+                        for mk, mv in fid_m.items():
+                            if mk.startswith("recon_") and mv is not None:
+                                writer.scalar(mk, mv, i)
+                        fb = fid_m.get("first_batch") or {}
+                        # Eval image grids (reference: run.py:1296-1330).
+                        if "rgb" in fb:
+                            writer.images("img/eval_rgb", fb["rgb"], i)
+                        if "depth" in fb:
+                            d = fb["depth"]
+                            writer.images(
+                                "img/eval_depth",
+                                (d / max(float(d.max()), 1e-6))[..., None],
+                                i,
+                            )
+                        if "mask" in fb:
+                            writer.images(
+                                "img/eval_mask", fb["mask"][..., None], i
+                            )
                         if fid_m["fid"] < best_fid:
                             # Reference keeps a best-FID checkpoint
                             # (run.py:1495-1516).

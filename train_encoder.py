@@ -32,7 +32,7 @@ import jax.numpy as jnp
 def main():
     from nerf_from_image_tpu import arguments
     from nerf_from_image_tpu.data.loaders import load_dataset
-    from nerf_from_image_tpu.data.splits import EndlessSampler
+    from nerf_from_image_tpu.data.splits import StepIndexedSampler
     from nerf_from_image_tpu.engine import coord_regressor as cr
     from nerf_from_image_tpu.engine.render import RenderConfig
     from nerf_from_image_tpu.models.encoder import BootstrapEncoder
@@ -102,8 +102,7 @@ def main():
     state = mesh_mod.replicate(mesh, state)
     gen_vars = mesh_mod.replicate(mesh, gen_vars)
 
-    rng = np.random.RandomState(1234)
-    sampler = EndlessSampler(len(train_split), rng)
+    sampler = StepIndexedSampler(len(train_split), seed=1234)
     step = jax.jit(
         lambda s, b, k: cr.coord_train_step(
             config, render_config, generator, gen_vars, encoder, s, b, k
@@ -116,7 +115,7 @@ def main():
     t0 = time.time()
     with jax.sharding.set_mesh(mesh):
         for i in range(config.max_iters):
-            idx = sampler(args.batch_size)
+            idx = sampler(i, args.batch_size)
             sel = train_split.select(idx)
             batch = {"pose": jnp.asarray(sel.tform_cam2world)}
             if sel.focal_length is not None:
