@@ -317,6 +317,14 @@ def main():
             coords, mask_pred, w_pred = encoder_fwd(enc_vars, enc_img)
             coords = coords * (config_ds.scene_range / P3D_SCENE_RANGE)
             z_ = w_pred
+            if (
+                args.init_pose_type not in ("gt", "external")
+                and float(jnp.sum(mask_pred > 0.9)) == 0
+            ):
+                # Reference skips objects whose predicted mask is empty
+                # (eval_nusc_persp.py:341-344, 1160-1163).
+                print("Empty mask detected, skipping...")
+                continue
         else:
             coords = mask_pred = None
             z_ = z_avg[None] if z_avg.ndim == 2 else z_avg

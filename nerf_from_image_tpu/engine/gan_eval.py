@@ -110,10 +110,10 @@ def make_recon_eval_fn(
     given, and Inception activations when the model is provided."""
 
     def eval_batch(variables, z, pose, focal, center=None, bbox=None,
-                   image_in=None, target=None):
+                   image_in=None, target=None, label=None):
         out, _ = render(
             render_config, model, variables, pose, focal, z,
-            center=center, bbox=bbox, image=image_in,
+            center=center, bbox=bbox, image=image_in, label=label,
             force_no_cam_grad=True,
         )
         pred = jnp.clip(out.rgb[..., :3], -1.0, 1.0)
@@ -156,6 +156,7 @@ def evaluate_recon(
     perm_indices: Optional[np.ndarray] = None,
     views_per_object: Optional[int] = None,
     input_images: Optional[np.ndarray] = None,
+    use_labels: bool = False,
 ) -> Dict[str, object]:
     """Host driver for the training-time evaluate() (reference:
     run.py:1200-1401).
@@ -206,6 +207,8 @@ def evaluate_recon(
             jnp.asarray(sel.bbox) if sel.bbox is not None else None,
             image_in,
             target,
+            jnp.asarray(sel.classes)
+            if use_labels and sel.classes is not None else None,
         )
         res = jax.device_get(res)
         if "activations" in res:

@@ -321,7 +321,7 @@ def main():
             if not args.use_encoder:
                 r = gan_eval.evaluate_recon(
                     recon_fn, variables, z_fid, train_eval_split,
-                    eval_indices, real_stats,
+                    eval_indices, real_stats, use_labels=args.use_class,
                 )
                 return {"fid": r["fid"], "first_batch": r["first_batch"]}
             rf = gan_eval.evaluate_recon(
@@ -329,12 +329,14 @@ def main():
                 real_stats, recon_mode="front",
                 views_per_object=config_ds.views_per_object,
                 input_images=train_split.images,
+                use_labels=args.use_class,
             )
             rr = gan_eval.evaluate_recon(
                 recon_fn, variables, z_fid, train_eval_split, eval_indices,
                 real_stats, recon_mode="random", perm_indices=eval_perm,
                 views_per_object=config_ds.views_per_object,
                 input_images=train_split.images,
+                use_labels=args.use_class,
             )
             out = {"fid": rr.get("fid", rf.get("fid")),
                    "first_batch": rf["first_batch"]}
