@@ -45,6 +45,14 @@ def main():
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
     args = arguments.parse_args()
+    if args.dataset == "autodetect":
+        # Dataset from the checkpoint/experiment name (reference:
+        # run.py:62-64).
+        from nerf_from_image_tpu.data.loaders import autodetect_dataset
+
+        assert args.resume_from, "--dataset or --resume_from required"
+        args.dataset = autodetect_dataset(os.path.basename(args.resume_from))
+        print("Autodetected dataset:", args.dataset)
     overrides = get_train_overrides(args.dataset)
 
     config_ds, train_split, train_eval_split, test_split = load_dataset(

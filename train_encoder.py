@@ -41,6 +41,13 @@ def main():
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
     args = arguments.parse_args()
+    if args.dataset == "autodetect":
+        # Dataset from the checkpoint name (reference: run.py:62-64).
+        from nerf_from_image_tpu.data.loaders import autodetect_dataset
+
+        assert args.resume_from, "--dataset or --resume_from required"
+        args.dataset = autodetect_dataset(os.path.basename(args.resume_from))
+        print("Autodetected dataset:", args.dataset)
     config_ds, train_split, _, _ = load_dataset(
         args.dataset, args.data_path, resolution=args.resolution,
         augment_p=0.0, max_images=args.max_images,
