@@ -274,3 +274,13 @@ class TestStepIndexedSampler:
         seen = np.concatenate([s(i, 4) for i in range(5)])
         assert sorted(seen[:10].tolist()) == list(range(10))
         assert sorted(seen[10:20].tolist()) == list(range(10))
+
+
+def test_autodetect_dataset():
+    from nerf_from_image_tpu.data.loaders import autodetect_dataset
+
+    assert autodetect_dataset("g_p3d_car_pretrained.pth") == "p3d_car"
+    assert autodetect_dataset("g_shapenet_cars_res128.orbax") == \
+        "shapenet_cars"
+    with pytest.raises(RuntimeError):
+        autodetect_dataset("no_dataset_here")
