@@ -188,7 +188,15 @@ def main():
                 coords, mask_pred, jnp.asarray(Kc)[None]
             )
             init_pose = invert_space(w2c)
-            z0 = w_pred / inv_config.lr_gain_z
+            # Regressed w -> per-layer ws (w-space latent; a 2-dim input
+            # would be re-mapped through the mapping network).
+            z0 = (
+                jnp.broadcast_to(
+                    w_pred[:, None, :],
+                    (1, model.num_ws, w_pred.shape[-1]),
+                )
+                / inv_config.lr_gain_z
+            )
             coords_vis = np.asarray(
                 jnp.clip(coords / config_ds.scene_range, -1, 1)
                 * mask_pred[..., None]

@@ -134,9 +134,10 @@ def export_driving_demo(args, config_ds, obj_idx, it, sample, coords,
         float(np.mean(metrics["rot_error"])),
         float(np.mean(metrics["trans_error"])),
     )
-    if "psnr_cross" in metrics:
-        eval_str += ", PSNR-C: {:.2f}".format(
-            float(np.mean(metrics["psnr_cross"]))
+    if "psnr_random" in metrics:
+        eval_str += ", PSNR-C: {:.2f}, Depth Err-C: {:.2f}".format(
+            float(np.mean(metrics["psnr_random"])),
+            float(np.mean(metrics["depth_error_random"])),
         )
     try:
         import cv2
@@ -356,14 +357,27 @@ def main():
             )
             init_cam2world = invert_space(w2c)
 
-        z_ = jnp.reshape(z_, (1, 1, -1)) / inv_config.lr_gain_z
+        # Split per-layer ws by default; --inv_no_split collapses to one w
+        # (reference: eval_nusc_persp.py:1143, 1196-1197).
+        if z_.ndim == 2:
+            z_ = jnp.broadcast_to(
+                z_[:, None, :], (1, model.num_ws, z_.shape[-1])
+            )
+        if args.inv_no_split:
+            z_ = jnp.mean(z_, axis=1, keepdims=True)
+        z_ = z_ / inv_config.lr_gain_z
         pose_params = inv_mod.pose_params_from_matrix(
             init_cam2world, init_focal, config_ds.camera_flipped
         )
 
-        # Cross-view target: another annotation of the same instance.
+        # Cross-view target: another annotation of the same instance
+        # (reference: eval_nusc_persp.py:662-692 — image, mask, LiDAR
+        # depth, and intrinsics all come from the OTHER view).
         perm_pose_params = None
         perm_img = None
+        perm_mask = None
+        perm_depth = None
+        perm_center = None
         if args.dataset == "nusc" and "instoken" in sample:
             samples_of_ins = dataset.anntokens_per_ins[sample["instoken"]]
             if len(samples_of_ins) > 1:
@@ -375,6 +389,10 @@ def main():
                         j = dataset.all_valid_samples.index([tok, cam_id])
                         perm_sample = dataset[j]
                         perm_img = jnp.asarray(perm_sample["img"])[None]
+                        perm_mask = jnp.asarray(perm_sample["mask"])[None]
+                        perm_depth = jnp.asarray(perm_sample["depth"])[None]
+                        Kp = perm_sample["K"]
+                        perm_center = jnp.asarray(Kp[None, :2, 2]) + 0.5
                         perm_pose_params = inv_mod.pose_params_from_matrix(
                             jnp.asarray(
                                 cam_pose_to_render_frame(
@@ -382,7 +400,7 @@ def main():
                                     config_ds.camera_flipped,
                                 )
                             )[None],
-                            jnp.asarray([perm_sample["K"][0, 0]]),
+                            jnp.asarray([Kp[0, 0]]),
                             config_ds.camera_flipped,
                         )
                         break
@@ -418,13 +436,27 @@ def main():
             ) / jnp.maximum(jnp.sum(valid), 1)
             m["depth_error"] = depth_err[None]
             if perm_img is not None:
+                # Cross-view metrics against the other annotation
+                # (reference: eval_nusc_persp.py:712-760 — masked PSNR,
+                # SSIM, LPIPS, LiDAR depth error at the novel view).
                 out_p, _ = render_for_eval(z_cur, perm_pose_params,
-                                           target_center)
+                                           perm_center)
                 pred_p = jnp.clip(out_p.rgb[..., :3], -1, 1)
-                m["psnr_cross"] = image_metrics.psnr(
+                m["psnr_random"] = image_metrics.psnr(
+                    pred_p / 2 + 0.5, perm_img[..., :3] / 2 + 0.5,
+                    reduction="none", mask=perm_mask,
+                )[None]
+                m["ssim_random"] = image_metrics.ssim(
                     pred_p / 2 + 0.5, perm_img[..., :3] / 2 + 0.5,
                     reduction="none",
                 )
+                m["lpips_random"] = lpips_model.apply(
+                    lpips_vars, pred_p, perm_img[..., :3]
+                ).reshape(-1)
+                valid_p = jnp.logical_and(perm_depth > 0, perm_mask > 0.5)
+                m["depth_error_random"] = (jnp.sum(
+                    jnp.abs(perm_depth - out_p.depth) * valid_p
+                ) / jnp.maximum(jnp.sum(valid_p), 1))[None]
             mh = jax.device_get(m)
             report.add(step, mh)
             return mh, out, out_p
@@ -442,6 +474,29 @@ def main():
             mh, out_last, out_p_last = evaluate_at(step, z_cur, pose_cur)
 
         if args.inv_export_demo_sample:
+            if out_p_last is None:
+                # No second annotation of this instance: novel view =
+                # the recovered camera perturbed by a random rotation
+                # (reference: eval_nusc_persp.py:694-708).
+                from scipy.spatial.transform import Rotation as _R
+
+                angle_lim = np.pi * 0.2
+                rotvec = [rng.uniform(-angle_lim, angle_lim)
+                          for _ in range(3)]
+                cam_f, focal_f = inv_mod.build_camera(
+                    pose_cur, config_ds.camera_flipped
+                )
+                w2c_p = np.asarray(invert_space(cam_f))
+                w2c_p[0, :3, :3] = (
+                    w2c_p[0, :3, :3] @ _R.from_rotvec(rotvec).as_matrix()
+                )
+                cam_p = invert_space(jnp.asarray(w2c_p))
+                pose_params_p = inv_mod.pose_params_from_matrix(
+                    cam_p, focal_f, config_ds.camera_flipped
+                )
+                out_p_last, _ = render_for_eval(
+                    z_cur, pose_params_p, target_center
+                )
             # Per-object side-by-side composite at the final checkpoint
             # step (reference: eval_nusc_persp.py:553-802 — input | NOCS
             # coords | recon | depth | cross-view recon | cross depth,

@@ -336,6 +336,10 @@ def main():
                     )
                     / inv_config.lr_gain_z
                 )
+        if args.inv_no_split:
+            # Optimize a single w instead of split per-layer ws
+            # (reference: run.py:1980-1981).
+            z0 = jnp.mean(z0, axis=1, keepdims=True)
         pose_params = inv_mod.pose_params_from_matrix(
             init_pose, init_focal, config_ds.camera_flipped
         )

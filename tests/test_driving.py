@@ -1,6 +1,8 @@
 """Driving data-layer unit tests: box geometry vs reference, crop pipeline
 invariants, known-K PnP."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -191,3 +193,165 @@ class TestDrivingDemoExport:
         grid = imageio.imread(str(path))
         # input | coords | recon | depth | cross recon | cross depth
         assert grid.shape[:2] == (res, res * 6)
+
+
+def _build_nusc_fixture(root):
+    """Minimal on-disk nuScenes-format tree: one instance annotated in two
+    camera views (cross-view path), LiDAR points on the object, Mask-RCNN
+    style instance masks, and the valid-sample index JSON."""
+    import json
+
+    import imageio.v2 as imageio
+
+    version = "v1.0-mini"
+    os.makedirs(os.path.join(root, version))
+    os.makedirs(os.path.join(root, "samples", "CAM_FRONT"))
+    os.makedirs(os.path.join(root, "samples", "LIDAR_TOP"))
+    os.makedirs(os.path.join(root, "pred_instance", "CAM_FRONT"))
+
+    K = [[50.0, 0.0, 32.0], [0.0, 50.0, 32.0], [0.0, 0.0, 1.0]]
+    ident_q = [1.0, 0.0, 0.0, 0.0]
+    tables = {
+        "sensor": [
+            {"token": "sen_cam", "channel": "CAM_FRONT",
+             "modality": "camera"},
+            {"token": "sen_lid", "channel": "LIDAR_TOP",
+             "modality": "lidar"},
+        ],
+        "calibrated_sensor": [
+            {"token": "cs_cam", "sensor_token": "sen_cam",
+             "translation": [0, 0, 0], "rotation": ident_q,
+             "camera_intrinsic": K},
+            {"token": "cs_lid", "sensor_token": "sen_lid",
+             "translation": [0, 0, 0], "rotation": ident_q,
+             "camera_intrinsic": []},
+        ],
+        "ego_pose": [
+            {"token": "ep1", "translation": [0, 0, 0],
+             "rotation": ident_q},
+            {"token": "ep2", "translation": [0.5, 0, 0],
+             "rotation": ident_q},
+        ],
+        "sample_data": [],
+        "sample": [],
+        "sample_annotation": [],
+        "instance": [{"token": "ins1", "category_token": "cat1"}],
+        "category": [{"token": "cat1", "name": "vehicle.car"}],
+    }
+    rng = np.random.RandomState(0)
+    for v, ep in ((1, "ep1"), (2, "ep2")):
+        img_name = f"samples/CAM_FRONT/view{v}.png"
+        lid_name = f"samples/LIDAR_TOP/view{v}.bin"
+        tables["sample_data"] += [
+            {"token": f"sd_cam{v}", "sample_token": f"s{v}",
+             "calibrated_sensor_token": "cs_cam", "ego_pose_token": ep,
+             "filename": img_name},
+            {"token": f"sd_lid{v}", "sample_token": f"s{v}",
+             "calibrated_sensor_token": "cs_lid", "ego_pose_token": ep,
+             "filename": lid_name},
+        ]
+        tables["sample"].append(
+            {"token": f"s{v}",
+             "data": {"CAM_FRONT": f"sd_cam{v}", "LIDAR_TOP": f"sd_lid{v}"}}
+        )
+        tables["sample_annotation"].append(
+            {"token": f"a{v}", "sample_token": f"s{v}",
+             "instance_token": "ins1", "translation": [0, 0, 4],
+             "size": [2.0, 2.0, 2.0], "rotation": ident_q}
+        )
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(root, img_name), img)
+        # LiDAR points inside the box (global frame = sensor frame here).
+        pts = np.zeros((40, 5), np.float32)
+        pts[:, 0] = rng.uniform(-0.8, 0.8, 40)  # x
+        pts[:, 1] = rng.uniform(-0.8, 0.0, 40)  # y (top portion)
+        pts[:, 2] = rng.uniform(3.2, 4.8, 40)  # z (depth)
+        pts.tofile(os.path.join(root, lid_name))
+        # Instance mask covering the projected box.
+        mask = np.zeros((64, 64), np.uint8)
+        mask[20:45, 18:46] = 255
+        stem = f"view{v}"
+        imageio.imwrite(
+            os.path.join(root, "pred_instance", "CAM_FRONT",
+                         f"{stem}_0.png"), mask
+        )
+        with open(os.path.join(root, "pred_instance", "CAM_FRONT",
+                               f"{stem}.json"), "w") as f:
+            json.dump({"boxes": [[18, 20, 46, 45]], "classes": [2],
+                       "scores": [0.95]}, f)
+
+    for name, rows in tables.items():
+        with open(os.path.join(root, version, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+
+    index = {
+        "all_valid_samples": [["a1", "CAM_FRONT"], ["a2", "CAM_FRONT"]],
+        "instoken_per_ann": {"a1": "ins1", "a2": "ins1"},
+        "anntokens_per_ins": {
+            "ins1": [["a1", "CAM_FRONT"], ["a2", "CAM_FRONT"]]
+        },
+        "sample_attr": {
+            "a1": {"CAM_FRONT": {"seg_id": 0}},
+            "a2": {"CAM_FRONT": {"seg_id": 0}},
+        },
+    }
+    index_path = os.path.join(root, version, "index.json")
+    with open(index_path, "w") as f:
+        json.dump(index, f)
+    return index_path
+
+
+class TestDrivingEvalPipeline:
+    """End-to-end eval_driving.main() on the synthetic nuScenes fixture:
+    reader -> box/LiDAR math -> crop -> inversion -> metrics (incl.
+    cross-view) -> demo composite -> report."""
+
+    def test_end_to_end(self, tmp_path, monkeypatch):
+        import sys
+
+        import eval_driving
+        import nerf_from_image_tpu.models.generator as gen_mod
+        from nerf_from_image_tpu.data.nusc_lite import NuScenesDrivingDataset
+
+        root = str(tmp_path / "nusc")
+        os.makedirs(root)
+        index_path = _build_nusc_fixture(root)
+
+        # The driver builds the full-size generator; shrink it for CI.
+        orig_gen = gen_mod.Generator
+
+        def tiny_generator(**kw):
+            kw.update(w_dim=64, plane_channels=8, synthesis_resolution=16,
+                      channel_base=512, channel_max=64)
+            return orig_gen(**kw)
+
+        monkeypatch.setattr(gen_mod, "Generator", tiny_generator)
+        orig_init = NuScenesDrivingDataset.__init__
+
+        def patched_init(self, *a, **kw):
+            kw["index_file"] = index_path
+            orig_init(self, *a, **kw)
+
+        monkeypatch.setattr(NuScenesDrivingDataset, "__init__", patched_init)
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "eval_driving.py", "--dataset", "nusc",
+            "--nusc_data_dir", root, "--resolution", "16",
+            "--inv_steps", "2", "--latent_dim", "64",
+            "--query_chunk", "0", "--inv_export_demo_sample",
+        ])
+        eval_driving.main()
+
+        report = tmp_path / "reports" / "eval_nusc" / "report.npz"
+        assert report.exists()
+        data = np.load(str(report))
+        for step in (0, 2):
+            assert f"step{step}/psnr" in data.files
+            assert f"step{step}/depth_error" in data.files
+            assert f"step{step}/psnr_random" in data.files  # cross-view
+            assert len(data[f"step{step}/psnr"]) == 2
+        # Per-object demo composites at the final step.
+        assert (tmp_path / "outputs" / "eval_nusc"
+                / "demo_obj0_2it.png").exists()
+        assert (tmp_path / "outputs" / "eval_nusc"
+                / "demo_obj1_2it.png").exists()
