@@ -350,7 +350,9 @@ def main():
             return out
 
     t_start = time.time()
-    display_every = 5000
+    # Loss/eval cadence: every 5000 iterations at the reference scale
+    # (run.py:1192-1198), denser for short runs so they stay observable.
+    display_every = min(5000, max(50, args.iterations // 10))
     best_fid = float("inf")
     with jax.sharding.set_mesh(mesh):
         for i in range(start_iter, args.iterations):
