@@ -114,6 +114,13 @@ def main():
                 jnp.asarray,
                 torch_interop.state_dict_to_variables(dict(variables), sd),
             )
+        else:
+            from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+            variables = ckpt.generator_variables_from_checkpoint(
+                ckpt.load_checkpoint(args.resume_from)
+            )
+        print("Loaded generator from", args.resume_from)
 
     encoder = BootstrapEncoder(
             latent_dim=args.latent_dim,

@@ -201,11 +201,9 @@ def main():
                 torch_interop.state_dict_to_variables(dict(variables), sd),
             )
         else:
-            state = ckpt.load_checkpoint(args.resume_from)
-            variables = {
-                "params": state["params_ema"],
-                "buffers": state.get("buffers_g", {}),
-            }
+            variables = ckpt.generator_variables_from_checkpoint(
+                ckpt.load_checkpoint(args.resume_from)
+            )
         print("Loaded generator from", args.resume_from)
 
     encoder = BootstrapEncoder(
@@ -233,7 +231,9 @@ def main():
                 ),
             )
         else:
-            enc_vars = ckpt.load_checkpoint(args.coord_resume_from)
+            enc_vars = ckpt.encoder_variables_from_checkpoint(
+                ckpt.load_checkpoint(args.coord_resume_from)
+            )
         print("Loaded encoder from", args.coord_resume_from)
     encoder_fwd = jax.jit(
         lambda v, x: encoder.apply(v, x, deterministic=True)

@@ -87,11 +87,9 @@ def main():
             )
             print("Loaded reference checkpoint", ckpt_path)
         else:
-            state = ckpt.load_checkpoint(ckpt_path)
-            variables = {
-                "params": state["params_ema"],
-                "buffers": state.get("buffers_g", {}),
-            }
+            variables = ckpt.generator_variables_from_checkpoint(
+                ckpt.load_checkpoint(ckpt_path)
+            )
             print("Loaded checkpoint", ckpt_path)
 
     lpips_model = LPIPS()
@@ -130,7 +128,9 @@ def main():
                 ),
             )
         else:
-            enc_vars = ckpt.load_checkpoint(args.coord_resume_from)
+            enc_vars = ckpt.encoder_variables_from_checkpoint(
+                ckpt.load_checkpoint(args.coord_resume_from)
+            )
         encoder_fwd = jax.jit(
             lambda v, x: encoder.apply(v, x, deterministic=True)
         )

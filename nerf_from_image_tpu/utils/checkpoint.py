@@ -119,3 +119,16 @@ def latest_checkpoint(directory: str, prefix: str = "checkpoint_"):
         return None
     best = max(candidates, key=lambda name: int(name[len(prefix):]))
     return os.path.join(directory, best)
+
+
+def encoder_variables_from_checkpoint(restored) -> dict:
+    """Extracts BootstrapEncoder variables from a coord-regressor training
+    checkpoint (CoordTrainState — orbax restores it as a dict with
+    params/opt_state/iteration entries) or from raw saved variables."""
+    state = restored.get("state", restored) if isinstance(restored, dict) \
+        else restored
+    if isinstance(state, dict):
+        params = state.get("params", state)
+    else:
+        params = state.params
+    return {"params": params}

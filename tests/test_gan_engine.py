@@ -404,3 +404,56 @@ class TestTrainTimeEval:
             perm_indices=perm, views_per_object=3,
         )
         assert "psnr" in r2
+
+
+class TestCheckpointInterop:
+    """Driver-side checkpoint extraction for both saved layouts."""
+
+    def test_generator_variables_roundtrip(self, tmp_path):
+        from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+        state = {
+            "params_ema": {"w": np.ones((2, 2), np.float32)},
+            "buffers_g": {"b": np.zeros((3,), np.float32)},
+            "iteration": np.asarray(7),
+        }
+        path = str(tmp_path / "ckpt_gan")
+        ckpt.save_checkpoint(path, {"state": state, "key": np.zeros(
+            (2,), np.uint32)})
+        variables = ckpt.generator_variables_from_checkpoint(
+            ckpt.load_checkpoint(path)
+        )
+        np.testing.assert_array_equal(
+            variables["params"]["w"], state["params_ema"]["w"]
+        )
+        np.testing.assert_array_equal(
+            variables["buffers"]["b"], state["buffers_g"]["b"]
+        )
+
+    def test_encoder_variables_from_train_state(self, tmp_path):
+        from nerf_from_image_tpu.engine.coord_regressor import (
+            CoordRegressorConfig,
+            init_coord_state,
+        )
+        from nerf_from_image_tpu.models.encoder import BootstrapEncoder
+        from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+        enc = BootstrapEncoder(latent_dim=16, backbone="tiny") \
+            if "backbone" in BootstrapEncoder.__dataclass_fields__ \
+            else BootstrapEncoder(latent_dim=16)
+        state = init_coord_state(
+            CoordRegressorConfig(batch_size=1, latent_dim=16), enc,
+            jax.random.key(0),
+        )
+        path = str(tmp_path / "ckpt_coord")
+        ckpt.save_checkpoint(path, state)
+        enc_vars = ckpt.encoder_variables_from_checkpoint(
+            ckpt.load_checkpoint(path)
+        )
+        assert "params" in enc_vars
+        restored_leaves = jax.tree.leaves(enc_vars["params"])
+        orig_leaves = jax.tree.leaves(state.params)
+        assert len(restored_leaves) == len(orig_leaves)
+        np.testing.assert_array_equal(
+            np.asarray(restored_leaves[0]), np.asarray(orig_leaves[0])
+        )

@@ -74,11 +74,9 @@ def main():
                 torch_interop.state_dict_to_variables(dict(gen_vars), sd),
             )
         else:
-            state = ckpt.load_checkpoint(args.resume_from)
-            gen_vars = {
-                "params": state["params_ema"],
-                "buffers": state.get("buffers_g", {}),
-            }
+            gen_vars = ckpt.generator_variables_from_checkpoint(
+                ckpt.load_checkpoint(args.resume_from)
+            )
         print("Loaded generator from", args.resume_from)
 
     encoder = BootstrapEncoder(
