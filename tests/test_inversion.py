@@ -60,16 +60,16 @@ class TestProjection:
         )
 
         params = PoseParams(
-            z0=jnp.asarray([[9.0]]),
+            z0=jnp.asarray([9.0]),
             t2=jnp.asarray([[0.3, -0.2]]),
-            s=jnp.asarray([[-1.7]]),
+            s=jnp.asarray([-1.7]),
             q=jnp.asarray([[2.0, 0.0, 0.0, 0.0]]),
         )
         proj = _project(params)
         # Reference re-projections (run.py:2307-2310): z0 clamped to
         # [-4, 4], s made positive, quaternion renormalized.
-        assert float(proj.z0[0, 0]) == 4.0
-        np.testing.assert_allclose(float(proj.s[0, 0]), 1.7, rtol=1e-6)
+        assert float(proj.z0[0]) == 4.0
+        np.testing.assert_allclose(float(proj.s[0]), 1.7, rtol=1e-6)
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(proj.q)), 1.0, rtol=1e-6
         )
