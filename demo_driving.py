@@ -123,9 +123,9 @@ def main():
         print("Loaded generator from", args.resume_from)
 
     encoder = BootstrapEncoder(
-            latent_dim=args.latent_dim,
-            separate_backbones=args.inv_use_separate,
-        )
+        latent_dim=model.w_dim,
+        separate_backbones=args.inv_use_separate,
+    )
     enc_vars = None
     if args.coord_resume_from:
         from nerf_from_image_tpu.models.encoder import encoder_rename
@@ -195,12 +195,11 @@ def main():
                 coords, mask_pred, jnp.asarray(Kc)[None]
             )
             init_pose = invert_space(w2c)
-            # Regressed w -> per-layer ws (w-space latent; a 2-dim input
-            # would be re-mapped through the mapping network).
+            # Regressed w [B, 1, w_dim] -> per-layer ws (w-space latent;
+            # a 2-dim input would be re-mapped through the mapping net).
             z0 = (
                 jnp.broadcast_to(
-                    w_pred[:, None, :],
-                    (1, model.num_ws, w_pred.shape[-1]),
+                    w_pred, (1, model.num_ws, w_pred.shape[-1])
                 )
                 / inv_config.lr_gain_z
             )

@@ -207,9 +207,9 @@ def main():
         print("Loaded generator from", args.resume_from)
 
     encoder = BootstrapEncoder(
-            latent_dim=args.latent_dim,
-            separate_backbones=args.inv_use_separate,
-        )
+        latent_dim=model.w_dim,
+        separate_backbones=args.inv_use_separate,
+    )
     enc_vars = None
     if args.coord_resume_from:
         if args.coord_resume_from.endswith(".pth"):
@@ -360,8 +360,10 @@ def main():
         # Split per-layer ws by default; --inv_no_split collapses to one w
         # (reference: eval_nusc_persp.py:1143, 1196-1197).
         if z_.ndim == 2:
+            z_ = z_[:, None, :]
+        if z_.shape[1] == 1:
             z_ = jnp.broadcast_to(
-                z_[:, None, :], (1, model.num_ws, z_.shape[-1])
+                z_, (z_.shape[0], model.num_ws, z_.shape[-1])
             )
         if args.inv_no_split:
             z_ = jnp.mean(z_, axis=1, keepdims=True)

@@ -106,7 +106,7 @@ def main():
         from nerf_from_image_tpu.models.encoder import BootstrapEncoder
 
         encoder = BootstrapEncoder(
-            latent_dim=args.latent_dim,
+            latent_dim=model.w_dim,
             separate_backbones=args.inv_use_separate,
         )
         if args.coord_resume_from.endswith(".pth"):
@@ -330,10 +330,10 @@ def main():
                 if est_focal is not None:
                     init_focal = est_focal
             if w_pred is not None:
+                # Encoder returns w [B, 1, w_dim]; broadcast to the split
+                # per-layer ws layout.
                 z0 = (
-                    jnp.broadcast_to(
-                        w_pred[:, None, :], (bs,) + z_avg.shape[1:]
-                    )
+                    jnp.broadcast_to(w_pred, (bs,) + z_avg.shape[1:])
                     / inv_config.lr_gain_z
                 )
         if args.inv_no_split:

@@ -186,6 +186,12 @@ def render_field(
             S,
             key=key_fine,
         ).reshape(B, H, W, S)
+        # Randomized inverse-CDF draws are NOT depth-ordered (the uniforms
+        # are unsorted); the dual-list compositor requires each list
+        # individually sorted. A per-ray sort of the S depths here is far
+        # cheaper than the reference's 2S merged sort + per-channel gather
+        # (run.py:283-335) — and a no-op in deterministic mode.
+        z_samples = jnp.sort(z_samples, axis=-1)
         z_samples = jax.lax.stop_gradient(z_samples)
 
         fine_points = (

@@ -29,6 +29,9 @@ class BootstrapEncoder(nn.Module):
     pose_regressor: bool = True
     latent_regressor: bool = True
     separate_backbones: bool = False
+    # MiT-B5 stage depths (reference: models/segformer.py depths
+    # [3, 6, 40, 3]); overridable so tests can run a tiny backbone.
+    backbone_depths: tuple = (3, 6, 40, 3)
 
     @nn.compact
     def __call__(
@@ -36,9 +39,9 @@ class BootstrapEncoder(nn.Module):
     ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         """x: [B, H, W, 3] in [-1, 1] -> (coords [B, H, W, 3],
         mask [B, H, W], w [B, 1, latent_dim])."""
-        features = Segformer(out_features=512, name="backbone")(
-            x, deterministic
-        )
+        features = Segformer(
+            out_features=512, depths=self.backbone_depths, name="backbone"
+        )(x, deterministic)
 
         coords = mask = w = None
         if self.pose_regressor:
@@ -57,7 +60,8 @@ class BootstrapEncoder(nn.Module):
         if self.latent_regressor:
             if self.separate_backbones:
                 features_latent = Segformer(
-                    out_features=512, name="backbone_latent"
+                    out_features=512, depths=self.backbone_depths,
+                    name="backbone_latent"
                 )(x, deterministic)
             else:
                 features_latent = features

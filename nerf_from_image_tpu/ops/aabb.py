@@ -57,9 +57,19 @@ def compute_near_far_planes(
     far = jnp.minimum(far, zmax)
 
     # Fill miss rays with the min/max over hit rays (masked global reduction).
+    # If NO ray hits (degenerate camera, e.g. a PnP dummy pose pointing away
+    # from the scene), fall back to a finite default range — the reference
+    # crashes on an empty masked min here (lib/nerf_utils.py:260-261); a
+    # finite empty render lets dummy-pose evaluations proceed.
     big = jnp.asarray(jnp.finfo(near.dtype).max, near.dtype)
-    near_hit_min = jnp.min(jnp.where(hit, near, big))
-    far_hit_max = jnp.max(jnp.where(hit, far, -big))
+    any_hit = jnp.any(hit)
+    diag = 2.0 * 1.7320508 * scene_range
+    near_hit_min = jnp.where(
+        any_hit, jnp.min(jnp.where(hit, near, big)), min_plane
+    )
+    far_hit_max = jnp.where(
+        any_hit, jnp.max(jnp.where(hit, far, -big)), min_plane + diag
+    )
     near = jnp.where(hit, near, near_hit_min)
     far = jnp.where(hit, far, far_hit_max)
 

@@ -719,3 +719,76 @@ class TestCompositeDual:
         np.testing.assert_allclose(
             np.asarray(g_p), np.asarray(g_s), rtol=1e-4, atol=1e-5
         )
+
+
+class TestCompositeDualRandomized:
+    def test_render_field_modes_agree_with_random_key(self):
+        """Randomized (training-path) render: the fine inverse-CDF draws
+        are NOT depth-ordered, so the dual-list compositor must sort its
+        fine list (regression: unsorted fine depths silently exploded the
+        pairwise path while golden tests only covered key=None)."""
+        import dataclasses
+
+        import jax
+
+        from nerf_from_image_tpu.engine import render as render_mod
+        from nerf_from_image_tpu.ops import aabb
+        from nerf_from_image_tpu.ops import rays as rays_mod
+
+        B, H, W = 1, 8, 8
+        cfg = render_mod.RenderConfig(
+            resolution=H,
+            depth_samples_per_ray=12,
+            fine_sampling=True,
+            scene_range=1.4,
+            white_background=True,
+            query_chunk=None,
+        )
+        pose = jnp.eye(4)[None].at[:, 2, 3].set(3.0)
+        focal = jnp.full((B,), 1.2)
+        ro, rd = rays_mod.get_ray_bundle(H, W, focal, pose, None, None)
+        rd = rays_mod.normalize_directions(rd)
+        near, far = aabb.compute_near_far_planes(ro, rd, cfg.scene_range)
+
+        def field_fn(points, outputs):
+            r = jnp.linalg.norm(points, axis=-1)
+            sigma = 10.0 * jax.nn.relu(0.9 - r)
+            rgb = jnp.stack(
+                (
+                    jnp.sin(points[..., 0] * 2.0) * 0.5 + 0.5,
+                    jnp.cos(points[..., 1]) * 0.5 + 0.5,
+                    points[..., 2] * 0.0 + 0.3,
+                ),
+                axis=-1,
+            )
+            return {"sigma": sigma, "rgb": rgb}
+
+        outs = {}
+        for mode in ("sort", "pairwise"):
+            c = dataclasses.replace(cfg, merge_mode=mode)
+            outs[mode], _ = render_mod.render_field(
+                c, field_fn, ro, rd, near, far, key=jax.random.key(5)
+            )
+        for f in ("rgb", "depth", "mask"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(outs["pairwise"], f)),
+                np.asarray(getattr(outs["sort"], f)),
+                rtol=2e-5, atol=2e-5, err_msg=f,
+            )
+        # Sanity: the mask is a physical accumulation in [0, 1].
+        assert float(outs["pairwise"].mask.min()) >= 0.0
+        assert float(outs["pairwise"].mask.max()) <= 1.0 + 1e-5
+
+
+def test_aabb_all_miss_finite():
+    """A camera that misses the scene box entirely (PnP dummy pose) must
+    still yield finite near/far so the render degrades to an empty image
+    instead of NaNs (the reference crashes here)."""
+    from nerf_from_image_tpu.ops import aabb
+
+    o = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 10.0]), (1, 4, 4, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (1, 4, 4, 3))
+    near, far = aabb.compute_near_far_planes(o, d, 1.4)
+    assert np.isfinite(np.asarray(near)).all()
+    assert np.isfinite(np.asarray(far)).all()
+    assert float((far - near).min()) > 0

@@ -355,3 +355,71 @@ class TestDrivingEvalPipeline:
                 / "demo_obj0_2it.png").exists()
         assert (tmp_path / "outputs" / "eval_nusc"
                 / "demo_obj1_2it.png").exists()
+
+    def test_end_to_end_with_encoder(self, tmp_path, monkeypatch):
+        """Encoder + PnP init path: regressed coords/mask/w drive the
+        pose estimate and latent init (reference:
+        eval_nusc_persp.py:1147-1163)."""
+        import sys
+
+        import jax
+
+        import eval_driving
+        import nerf_from_image_tpu.models.encoder as enc_mod
+        import nerf_from_image_tpu.models.generator as gen_mod
+        from nerf_from_image_tpu.data.nusc_lite import NuScenesDrivingDataset
+        from nerf_from_image_tpu.engine.coord_regressor import (
+            CoordRegressorConfig,
+            init_coord_state,
+        )
+        from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+        root = str(tmp_path / "nusc")
+        os.makedirs(root)
+        index_path = _build_nusc_fixture(root)
+
+        orig_gen = gen_mod.Generator
+
+        def tiny_generator(**kw):
+            kw.update(w_dim=64, plane_channels=8, synthesis_resolution=16,
+                      channel_base=512, channel_max=64)
+            return orig_gen(**kw)
+
+        orig_enc = enc_mod.BootstrapEncoder
+
+        def tiny_encoder(**kw):
+            kw.setdefault("backbone_depths", (1, 1, 1, 1))
+            return orig_enc(**kw)
+
+        monkeypatch.setattr(gen_mod, "Generator", tiny_generator)
+        monkeypatch.setattr(enc_mod, "BootstrapEncoder", tiny_encoder)
+        orig_init = NuScenesDrivingDataset.__init__
+
+        def patched_init(self, *a, **kw):
+            kw["index_file"] = index_path
+            orig_init(self, *a, **kw)
+
+        monkeypatch.setattr(NuScenesDrivingDataset, "__init__", patched_init)
+        monkeypatch.chdir(tmp_path)
+
+        # A "trained" tiny encoder checkpoint in coord-regressor layout.
+        enc = tiny_encoder(latent_dim=64)
+        state = init_coord_state(
+            CoordRegressorConfig(batch_size=1, latent_dim=64), enc,
+            jax.random.key(0),
+        )
+        enc_ckpt = str(tmp_path / "coord_ckpt")
+        ckpt.save_checkpoint(enc_ckpt, state)
+
+        monkeypatch.setattr(sys, "argv", [
+            "eval_driving.py", "--dataset", "nusc",
+            "--nusc_data_dir", root, "--resolution", "16",
+            "--inv_steps", "1", "--latent_dim", "64",
+            "--query_chunk", "0", "--max_num_samples", "1",
+            "--coord_resume_from", enc_ckpt,
+        ])
+        eval_driving.main()
+        report = tmp_path / "reports" / "eval_nusc" / "report.npz"
+        data = np.load(str(report))
+        assert len(data["step0/psnr"]) == 1
+        assert np.isfinite(data["step1/rot_error"]).all()

@@ -80,7 +80,8 @@ def main():
         print("Loaded generator from", args.resume_from)
 
     encoder = BootstrapEncoder(
-        latent_dim=args.latent_dim,
+        # The w head regresses the generator's w (dim w_dim, not z-dim).
+        latent_dim=generator.w_dim,
         separate_backbones=args.inv_use_separate,
     )
     config = cr.CoordRegressorConfig(
@@ -104,6 +105,23 @@ def main():
     n_chips = args.chips or jax.device_count()
     mesh = mesh_mod.make_mesh(n_data=n_chips, devices=jax.devices()[:n_chips])
     state = cr.init_coord_state(config, encoder, jax.random.key(1))
+    start_iter = 0
+    resume_path = args.coord_resume_from
+    if not resume_path:
+        resume_path = ckpt.latest_checkpoint(
+            os.path.join(args.root_path, "coords_checkpoints",
+                         f"c_{args.dataset}")
+        )
+    if resume_path and not resume_path.endswith(".pth"):
+        # Resume encoder training: params + optimizer + iteration
+        # (reference: run.py:1575-1606 coords_checkpoints).
+        restored = ckpt.load_checkpoint(resume_path, template=state)
+        state = restored if isinstance(restored, type(state)) else \
+            type(state)(*[restored[k] for k in state._fields]) \
+            if isinstance(restored, dict) else state
+        start_iter = int(state.iteration)
+        print(f"Resuming encoder training from {resume_path} "
+              f"(iteration {start_iter})")
     state = mesh_mod.replicate(mesh, state)
     gen_vars = mesh_mod.replicate(mesh, gen_vars)
 
@@ -116,10 +134,14 @@ def main():
 
     ckpt_dir = os.path.join(args.root_path, "coords_checkpoints",
                             f"c_{args.dataset}")
+    from nerf_from_image_tpu.utils.tb import Logger
+
+    writer = Logger(os.path.join(args.root_path, "gan_logs",
+                                 f"c_{args.dataset}"))
     key = jax.random.key(2)
     t0 = time.time()
     with jax.sharding.set_mesh(mesh):
-        for i in range(config.max_iters):
+        for i in range(start_iter, config.max_iters):
             idx = sampler(i, args.batch_size)
             sel = train_split.select(idx)
             batch = {"pose": jnp.asarray(sel.tform_cam2world)}
@@ -133,6 +155,7 @@ def main():
                     f"{k_} {float(v):.5f}" for k_, v in losses.items()
                 )
                 print(f"[{i}] {msg}  ({(i+1)/(time.time()-t0):.2f} it/s)")
+                writer.scalars(losses, i, prefix="coords/")
             if (i + 1) % 10000 == 0 or i + 1 == config.max_iters:
                 ckpt.save_checkpoint(
                     os.path.join(ckpt_dir, f"checkpoint_{i + 1}"), state
