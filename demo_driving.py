@@ -203,10 +203,12 @@ def main():
                 )
                 / inv_config.lr_gain_z
             )
-            coords_vis = np.asarray(
-                jnp.clip(coords / config_ds.scene_range, -1, 1)
-                * mask_pred[..., None]
-            )[0]
+            from nerf_from_image_tpu.utils.images import coords_panel
+
+            coords_vis = coords_panel(
+                np.asarray(coords)[0], np.asarray(mask_pred)[0],
+                config_ds.scene_range, False,
+            )
         else:
             init_pose = jnp.broadcast_to(jnp.eye(4), (1, 4, 4)).at[:, 2, 3].set(
                 3.0

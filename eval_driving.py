@@ -85,39 +85,37 @@ def cam_pose_to_render_frame(cam_pose_34, camera_flipped=True):
     return m
 
 
-def depth_panel(depth, mask, white_background):
-    """Depth map -> displayable [-1, 1] RGB panel: foreground depths are
-    centered on their median and scaled by 5 m; background is white (or
-    grey) (reference: eval_nusc_persp.py:566-587)."""
-    depth = np.asarray(depth)
-    mask = np.asarray(mask)
-    fg = depth[mask >= 0.95]
-    med = np.median(fg) if fg.size else 0.0
-    vis = (depth - med) / 5.0
-    vis = np.where(mask < 0.95, 1.0 if white_background else 0.0, vis)
-    return np.clip(np.stack([vis] * 3, axis=-1), -1, 1)
+# Shared with invert.py / demo_driving.py via utils/images.py.
+from nerf_from_image_tpu.utils.images import (  # noqa: E402
+    coords_panel,
+    depth_panel,
+)
 
 
 def export_driving_demo(args, config_ds, obj_idx, it, sample, coords,
-                        mask_pred, metrics, out, out_p):
+                        mask_pred, metrics, out, out_p, perm_target=None):
     """Saves the per-object demo composite (reference:
-    eval_nusc_persp.py:553-802)."""
+    eval_nusc_persp.py:553-802): input | NOCS coords | recon | depth |
+    [cross-view GT] | cross-view recon | cross depth."""
     from nerf_from_image_tpu.utils.images import save_image_grid
 
     panels = [np.asarray(sample["img"])[..., :3]]
     if coords is not None:
-        mask_b = np.asarray(mask_pred)[0][..., None]
-        coords_img = np.clip(
-            np.asarray(coords)[0] * mask_b / config_ds.scene_range, -1, 1
+        panels.append(
+            coords_panel(
+                np.asarray(coords)[0], np.asarray(mask_pred)[0],
+                config_ds.scene_range, config_ds.white_background,
+            )
         )
-        if config_ds.white_background:
-            coords_img = coords_img + (1 - mask_b)
-        panels.append(coords_img)
     panels.append(np.asarray(np.clip(out.rgb[0, ..., :3], -1, 1)))
     panels.append(
         depth_panel(out.depth[0], out.mask[0], config_ds.white_background)
     )
     if out_p is not None:
+        if perm_target is not None:
+            # The reference shows the cross-view ground truth beside the
+            # novel-view recon (eval_nusc_persp.py:763-765).
+            panels.append(np.asarray(perm_target)[0, ..., :3])
         panels.append(np.asarray(np.clip(out_p.rgb[0, ..., :3], -1, 1)))
         panels.append(
             depth_panel(
@@ -488,7 +486,8 @@ def main():
                 cam_f, focal_f = inv_mod.build_camera(
                     pose_cur, config_ds.camera_flipped
                 )
-                w2c_p = np.asarray(invert_space(cam_f))
+                # np.array (not asarray): device arrays view as read-only.
+                w2c_p = np.array(invert_space(cam_f))
                 w2c_p[0, :3, :3] = (
                     w2c_p[0, :3, :3] @ _R.from_rotvec(rotvec).as_matrix()
                 )
@@ -505,7 +504,7 @@ def main():
             # with the metric readout printed on the image).
             export_driving_demo(
                 args, config_ds, idx, niter, sample, coords, mask_pred,
-                mh, out_last, out_p_last,
+                mh, out_last, out_p_last, perm_target=perm_img,
             )
 
         if (idx + 1) % 20 == 0 or idx + 1 == n_objects:

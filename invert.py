@@ -51,7 +51,7 @@ def main():
         from nerf_from_image_tpu.data.loaders import autodetect_dataset
 
         assert args.resume_from, "--dataset or --resume_from required"
-        args.dataset = autodetect_dataset(os.path.basename(args.resume_from))
+        args.dataset = autodetect_dataset(args.resume_from)
         print("Autodetected dataset:", args.dataset)
     overrides = get_train_overrides(args.dataset)
 
@@ -167,7 +167,11 @@ def main():
         print("FID enabled (inception weights:", inception_weights + ")")
 
     n_steps = args.inv_steps or (10 if args.inv_gain_z >= 10 else 30)
-    checkpoint_steps = [0, n_steps] if not args.inv_encoder_only else [0]
+    if args.inv_encoder_only:
+        # Encoder-only evaluation: no optimization at all (reference:
+        # run.py:1823-1825 checkpoint_steps = [0]).
+        n_steps = 0
+    checkpoint_steps = [0, n_steps] if n_steps > 0 else [0]
 
     inv_config = inv_mod.InversionConfig(
         steps=n_steps,
@@ -448,14 +452,18 @@ def main():
             for b in range(n_real):
                 panels = [np.asarray(target_img)[b, ..., :3]]
                 if enc_vars is not None and coords is not None:
-                    mask_b = np.asarray(mask_pred)[b][..., None]
-                    coords_img = np.clip(
-                        np.asarray(coords)[b] * mask_b
-                        / config_ds.scene_range, -1, 1,
+                    from nerf_from_image_tpu.utils.images import (
+                        coords_panel,
                     )
-                    if config_ds.white_background:
-                        coords_img = coords_img + (1 - mask_b)
-                    panels.append(coords_img)
+
+                    panels.append(
+                        coords_panel(
+                            np.asarray(coords)[b],
+                            np.asarray(mask_pred)[b],
+                            config_ds.scene_range,
+                            config_ds.white_background,
+                        )
+                    )
                 panels.append(
                     np.asarray(jnp.clip(out_f.rgb[b, ..., :3], -1, 1))
                 )

@@ -38,3 +38,28 @@ def save_image_grid(rows, path: str):
 def normals_panel(normals: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """Normal map -> displayable [-1, 1] RGB panel (zeros outside mask)."""
     return np.asarray(normals) * np.asarray(mask)[..., None]
+
+
+def depth_panel(depth: np.ndarray, mask: np.ndarray,
+                white_background: bool) -> np.ndarray:
+    """Depth map -> displayable [-1, 1] RGB panel: foreground depths are
+    centered on their median and scaled by 5 m; background is white (or
+    grey) (reference: eval_nusc_persp.py:566-587)."""
+    depth = np.asarray(depth)
+    mask = np.asarray(mask)
+    fg = depth[mask >= 0.95]
+    med = np.median(fg) if fg.size else 0.0
+    vis = (depth - med) / 5.0
+    vis = np.where(mask < 0.95, 1.0 if white_background else 0.0, vis)
+    return np.clip(np.stack([vis] * 3, axis=-1), -1, 1)
+
+
+def coords_panel(coords: np.ndarray, mask: np.ndarray, scene_range: float,
+                 white_background: bool) -> np.ndarray:
+    """Encoder NOCS coordinate map -> displayable [-1, 1] RGB panel
+    (reference: run.py:2061-2069 / eval_nusc_persp.py:556-565)."""
+    mask = np.asarray(mask)[..., None]
+    panel = np.clip(np.asarray(coords) * mask / scene_range, -1, 1)
+    if white_background:
+        panel = panel + (1 - mask)
+    return panel

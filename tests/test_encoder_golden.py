@@ -96,7 +96,7 @@ def test_bootstrap_encoder_matches_reference():
 
     orig_seg = jenc_mod.Segformer
 
-    def tiny_seg(out_features, name):
+    def tiny_seg(out_features, name, **kw):
         return orig_seg(
             out_features=out_features,
             embed_dims=(8, 16, 24, 32),

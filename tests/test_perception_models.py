@@ -108,7 +108,7 @@ class TestCoordRegressorStep:
 
         orig = enc_mod.Segformer
 
-        def tiny_seg(out_features, name):
+        def tiny_seg(out_features, name, **kw):
             return orig(
                 out_features=out_features,
                 embed_dims=(8, 8, 8, 8),

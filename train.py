@@ -353,7 +353,16 @@ def main():
     # Loss/eval cadence: every 5000 iterations at the reference scale
     # (run.py:1192-1198), denser for short runs so they stay observable.
     display_every = min(5000, max(50, args.iterations // 10))
+    # best_fid survives restarts (the reference restores it from the
+    # checkpoint, run.py:900-901; a sidecar avoids checkpoint-layout churn).
+    import json as _json
+
     best_fid = float("inf")
+    best_fid_path = os.path.join(checkpoint_dir, "best_fid.json")
+    if start_iter > 0 and os.path.exists(best_fid_path):
+        with open(best_fid_path) as f:
+            best_fid = float(_json.load(f)["best_fid"])
+        print(f"Restored best_fid {best_fid:.3f}")
     with jax.sharding.set_mesh(mesh):
         for i in range(start_iter, args.iterations):
             key, k = jax.random.split(key)
@@ -404,6 +413,8 @@ def main():
                                              "checkpoint_best"),
                                 {"state": state, "key": key},
                             )
+                            with open(best_fid_path, "w") as f:
+                                _json.dump({"best_fid": best_fid}, f)
                     ckpt.save_checkpoint(
                         os.path.join(checkpoint_dir, "checkpoint_latest"),
                         {"state": state, "key": key},

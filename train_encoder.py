@@ -46,7 +46,7 @@ def main():
         from nerf_from_image_tpu.data.loaders import autodetect_dataset
 
         assert args.resume_from, "--dataset or --resume_from required"
-        args.dataset = autodetect_dataset(os.path.basename(args.resume_from))
+        args.dataset = autodetect_dataset(args.resume_from)
         print("Autodetected dataset:", args.dataset)
     config_ds, train_split, _, _ = load_dataset(
         args.dataset, args.data_path, resolution=args.resolution,
@@ -112,7 +112,24 @@ def main():
             os.path.join(args.root_path, "coords_checkpoints",
                          f"c_{args.dataset}")
         )
-    if resume_path and not resume_path.endswith(".pth"):
+    if resume_path and resume_path.endswith(".pth"):
+        # Warm-start from a reference-format encoder checkpoint (weights
+        # only; optimizer/iteration start fresh).
+        from nerf_from_image_tpu.models.encoder import encoder_rename
+        from nerf_from_image_tpu.utils import torch_interop
+
+        sd = torch_interop.load_torch_checkpoint(
+            resume_path, key="model_coord"
+        )
+        sd = {k.replace("module.", ""): v for k, v in sd.items()}
+        loaded = torch_interop.state_dict_to_variables(
+            {"params": state.params}, sd, rename=encoder_rename
+        )
+        state = state._replace(
+            params=jax.tree.map(jnp.asarray, loaded["params"])
+        )
+        print(f"Warm-started encoder weights from {resume_path}")
+    elif resume_path:
         # Resume encoder training: params + optimizer + iteration
         # (reference: run.py:1575-1606 coords_checkpoints).
         restored = ckpt.load_checkpoint(resume_path, template=state)
