@@ -193,9 +193,7 @@ def _clamp_sdf_params(params_g, use_sdf: bool):
 
 
 def _blur_sigma(iteration, config: GANTrainConfig):
-    return (
-        jnp.maximum(1.0 - iteration / config.blur_warmup_iters, 0.0) * 10.0
-    )
+    return filters.blur_schedule_sigma(iteration, config.blur_warmup_iters)
 
 
 def _disc_input(out, config: GANTrainConfig):
@@ -226,7 +224,10 @@ def g_step(
         key, 7
     )
     pose, focal = batch["pose"], batch.get("focal")
-    if config.augment_p > 0:
+    # The conditional L1/MSE branch compares the render pixelwise against
+    # the un-transformed conditioning image, so its camera must not be
+    # ADA-augmented (reference: run.py:932-934 no_augment).
+    if config.augment_p > 0 and not (config.dual_l1 or config.dual_mse):
         _, pose, focal, _ = augment_mod.augment(
             k_aug, None, pose, focal, state.augment_p_eff,
             config.white_background,

@@ -70,7 +70,7 @@ def evaluate_fid(
     protocol: <= 8000 images, run.py:413-439)."""
     acts = []
     n = len(eval_indices)
-    for i in range(0, n - n % batch_size, batch_size):
+    for i in range(0, n, batch_size):
         idx = eval_indices[i : i + batch_size]
         sel = split.select(idx)
         acts.append(

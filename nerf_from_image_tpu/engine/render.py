@@ -110,6 +110,7 @@ def render_field(
     far: jnp.ndarray,
     key: Optional[jax.Array] = None,
     force_no_cam_grad: bool = False,
+    viewdir_embedding: Optional[jnp.ndarray] = None,
 ) -> Tuple[compositing.CompositeOutput, Dict[str, jnp.ndarray]]:
     """Renders a radiance field along the given rays.
 
@@ -148,17 +149,40 @@ def render_field(
     def query(points):
         flat = points.reshape(B, -1, 3)
         n_points = flat.shape[1]
+        emb = None
+        if viewdir_embedding is not None:
+            # Per-ray embedding [B, H*W, F'] -> per-point [B, N, F'] so it
+            # chunks alongside the points (a per-ray layout would regroup
+            # samples under the wrong rays inside a chunk).
+            s_pass = n_points // (H * W)
+            emb = jnp.broadcast_to(
+                viewdir_embedding[:, :, None, :],
+                (B, H * W, s_pass, viewdir_embedding.shape[-1]),
+            ).reshape(B, n_points, -1)
         chunk = config.query_chunk
         if chunk and n_points > chunk and n_points % chunk == 0:
             n_chunks = n_points // chunk
             chunked = flat.reshape(B, n_chunks, chunk, 3).swapaxes(0, 1)
-            out = jax.lax.map(
-                jax.checkpoint(lambda p: field_fn(p, requests)), chunked
-            )
+            if emb is not None:
+                emb_c = emb.reshape(
+                    B, n_chunks, chunk, -1
+                ).swapaxes(0, 1)
+                out = jax.lax.map(
+                    jax.checkpoint(
+                        lambda pe: field_fn(pe[0], requests, pe[1])
+                    ),
+                    (chunked, emb_c),
+                )
+            else:
+                out = jax.lax.map(
+                    jax.checkpoint(lambda p: field_fn(p, requests)), chunked
+                )
             out = {
                 k: v.swapaxes(0, 1).reshape((B, n_points) + v.shape[3:])
                 for k, v in out.items()
             }
+        elif emb is not None:
+            out = field_fn(flat, requests, emb)
         else:
             out = field_fn(flat, requests)
         per_sample = {}
@@ -174,7 +198,9 @@ def render_field(
     sigma = coarse["sigma"]
     channels = {k: v for k, v in coarse.items() if k != "sigma"}
 
-    if config.fine_sampling and config.merge_mode == "pairwise":
+    def fine_pass(sort_fine: bool):
+        """EG3D-smoothed importance sampling + fine query (shared by both
+        merge modes; reference: run.py:259-311)."""
         weights = compositing.render_volume_density_weights_only(
             sigma, ray_directions, depth_values
         )
@@ -186,19 +212,23 @@ def render_field(
             S,
             key=key_fine,
         ).reshape(B, H, W, S)
-        # Randomized inverse-CDF draws are NOT depth-ordered (the uniforms
-        # are unsorted); the dual-list compositor requires each list
-        # individually sorted. A per-ray sort of the S depths here is far
-        # cheaper than the reference's 2S merged sort + per-channel gather
-        # (run.py:283-335) — and a no-op in deterministic mode.
-        z_samples = jnp.sort(z_samples, axis=-1)
+        if sort_fine:
+            # Randomized inverse-CDF draws are NOT depth-ordered (the
+            # uniforms are unsorted); the dual-list compositor requires
+            # each list individually sorted. A per-ray sort of S depths is
+            # far cheaper than the reference's 2S merged sort +
+            # per-channel gather (run.py:283-335) — and a no-op in
+            # deterministic mode.
+            z_samples = jnp.sort(z_samples, axis=-1)
         z_samples = jax.lax.stop_gradient(z_samples)
-
         fine_points = (
             ray_origins[..., None, :]
             + ray_directions[..., None, :] * z_samples[..., :, None]
         )
-        fine = query(fine_points)
+        return z_samples, query(fine_points)
+
+    if config.fine_sampling and config.merge_mode == "pairwise":
+        z_samples, fine = fine_pass(sort_fine=True)
         fine_channels = {k: v for k, v in fine.items() if k != "sigma"}
 
         if "coords" in channels:
@@ -218,24 +248,7 @@ def render_field(
         return out, {"depth_values": depth_values}
 
     if config.fine_sampling:
-        weights = compositing.render_volume_density_weights_only(
-            sigma, ray_directions, depth_values
-        )
-        flat_w = compositing.smooth_weights(weights.reshape(-1, S))
-        z_mid = 0.5 * (depth_values[..., 1:] + depth_values[..., :-1])
-        z_samples = sampling.sample_pdf(
-            z_mid.reshape(-1, S - 1),
-            flat_w[..., 1:-1],
-            S,
-            key=key_fine,
-        ).reshape(B, H, W, S)
-        z_samples = jax.lax.stop_gradient(z_samples)
-
-        fine_points = (
-            ray_origins[..., None, :]
-            + ray_directions[..., None, :] * z_samples[..., :, None]
-        )
-        fine = query(fine_points)
+        z_samples, fine = fine_pass(sort_fine=False)
 
         # Depth-sorted merge of coarse+fine. One argsort, then a SINGLE flat
         # global-index gather over all channels concatenated — per-channel
@@ -288,11 +301,14 @@ def render_field(
     return out, aux
 
 
-def make_field_fn(model, variables, planes, attention_values=None,
-                  viewdir_embedding=None):
-    """Binds Generator.sample_field over fixed synthesized planes."""
+def make_field_fn(model, variables, planes, attention_values=None):
+    """Binds Generator.sample_field over fixed synthesized planes.
 
-    def field_fn(points, outputs):
+    The returned field_fn(points, outputs[, viewdir_embedding]) takes the
+    optional view-direction embedding PER POINT ([B, N, F']) so the caller
+    can chunk it together with the points."""
+
+    def field_fn(points, outputs, viewdir_embedding=None):
         return model.apply(
             variables,
             planes,
@@ -374,12 +390,14 @@ def render(
     if config.use_viewdir:
         B, H, W, _ = ray_directions.shape
         viewdirs = ray_directions.reshape(B, H * W, 1, 3)
+        # [B, H*W, 1, F'] -> per-ray [B, H*W, F']; render_field expands it
+        # per point so it chunks alongside the query points.
         viewdir_embedding = model.apply(
             variables, viewdirs, method="viewdir_embedding"
-        )
+        )[:, :, 0, :]
 
     field_fn = make_field_fn(
-        model, variables, field_planes, attention_values, viewdir_embedding
+        model, variables, field_planes, attention_values
     )
     out, aux = render_field(
         config,
@@ -390,6 +408,7 @@ def render(
         far,
         key=key_render,
         force_no_cam_grad=force_no_cam_grad,
+        viewdir_embedding=viewdir_embedding,
     )
     if config.zbuffer_depth:
         from nerf_from_image_tpu.pose.pose import invert_space

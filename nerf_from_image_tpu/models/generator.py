@@ -394,15 +394,20 @@ class Generator(nn.Module):
                             viewdir_embedding=None, want_semantics=False):
         """Decoder features -> rgb (and optional semantics probs).
 
-        features: [B, N, F]; viewdir_embedding: [B, R, 1, F'] broadcast over
+        features: [B, N, F]; viewdir_embedding: per-point [B, N, F']
+        (chunk-safe layout) or per-ray [B, R, 1, F'] broadcast over
         samples-per-ray (N = R * S).
         """
         if self.use_viewdir and viewdir_embedding is not None:
-            B, N, F = features.shape
-            R = viewdir_embedding.shape[1]
-            f = features.reshape(B, R, N // R, F)
-            f = leaky_relu(viewdir_embedding + f)
-            features = self.viewdir_output(f).reshape(B, N, -1)
+            if viewdir_embedding.ndim == 3:
+                f = leaky_relu(viewdir_embedding + features)
+                features = self.viewdir_output(f)
+            else:
+                B, N, F = features.shape
+                R = viewdir_embedding.shape[1]
+                f = features.reshape(B, R, N // R, F)
+                f = leaky_relu(viewdir_embedding + f)
+                features = self.viewdir_output(f).reshape(B, N, -1)
 
         semantics = None
         if self.attention_values == 0:

@@ -45,6 +45,11 @@ def compute_near_far_planes(
     hi = jnp.where(invdir < 0, -scene_range, scene_range)
     tmin = (lo - o) * invdir  # [..., 3]
     tmax = (hi - o) * invdir
+    # An origin exactly on a face with a perpendicular direction produces
+    # 0 * inf = NaN; treat the grazing ray as inside that slab (NaN would
+    # otherwise poison every miss ray through the global min/max fill).
+    tmin = jnp.where(jnp.isnan(tmin), -jnp.inf, tmin)
+    tmax = jnp.where(jnp.isnan(tmax), jnp.inf, tmax)
 
     xmin, ymin, zmin = tmin[..., 0], tmin[..., 1], tmin[..., 2]
     xmax, ymax, zmax = tmax[..., 0], tmax[..., 1], tmax[..., 2]

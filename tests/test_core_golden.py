@@ -792,3 +792,16 @@ def test_aabb_all_miss_finite():
     assert np.isfinite(np.asarray(near)).all()
     assert np.isfinite(np.asarray(far)).all()
     assert float((far - near).min()) > 0
+
+
+def test_aabb_on_face_parallel_ray_no_nan():
+    """Origin exactly on a box face with a perpendicular direction (ortho
+    cameras do this) must not produce NaN near/far (regression: 0*inf in
+    the slab test poisoned the global miss-fill)."""
+    from nerf_from_image_tpu.ops import aabb
+
+    o = jnp.asarray([[[[1.4, 0.0, -3.0]]]])  # x exactly on the +x face
+    d = jnp.asarray([[[[0.0, 0.0, 1.0]]]])  # no x component
+    near, far = aabb.compute_near_far_planes(o, d, 1.4)
+    assert np.isfinite(np.asarray(near)).all()
+    assert np.isfinite(np.asarray(far)).all()

@@ -457,3 +457,53 @@ class TestCheckpointInterop:
         np.testing.assert_array_equal(
             np.asarray(restored_leaves[0]), np.asarray(orig_leaves[0])
         )
+
+
+class TestViewdirChunking:
+    def test_chunked_equals_unchunked_with_viewdir(self):
+        """Chunked field queries must reproduce the unchunked render when
+        view-dependent effects are on (regression: a per-ray embedding
+        layout regrouped samples under the wrong rays inside chunks)."""
+        import dataclasses
+
+        from nerf_from_image_tpu.engine.render import RenderConfig, render
+        from nerf_from_image_tpu.models.generator import Generator
+
+        model = Generator(
+            latent_dim=32,
+            scene_range=3.0,
+            attention_values=0,
+            use_sdf=True,
+            use_viewdir=True,
+            w_dim=32,
+            plane_channels=8,
+            synthesis_resolution=16,
+            channel_base=256,
+            channel_max=32,
+        )
+        variables = jax.jit(lambda k: model.init(k, method="init_all"))(
+            jax.random.key(0)
+        )
+        pose = jnp.eye(4)[None].at[:, 2, 3].set(1.5)
+        focal = jnp.asarray([1.2])
+        z = jax.random.normal(jax.random.key(1), (1, 32))
+        base = RenderConfig(
+            resolution=8,
+            depth_samples_per_ray=8,
+            fine_sampling=True,
+            scene_range=3.0,
+            white_background=True,
+            use_viewdir=True,
+            query_chunk=None,
+        )
+        out_full, _ = render(base, model, variables, pose, focal, z)
+        # 8*8 rays * 8 samples = 512 points; chunk=128 -> 4 chunks.
+        cfg_chunk = dataclasses.replace(base, query_chunk=128)
+        out_chunk, _ = render(cfg_chunk, model, variables, pose, focal, z)
+        np.testing.assert_allclose(
+            np.asarray(out_chunk.rgb), np.asarray(out_full.rgb),
+            rtol=1e-5, atol=1e-5,
+        )
+        # And the viewdir layer actually fires: zero embedding path would
+        # leave rgb independent of ray direction mixing; sanity only.
+        assert np.isfinite(np.asarray(out_chunk.rgb)).all()
