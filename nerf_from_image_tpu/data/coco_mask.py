@@ -1,9 +1,11 @@
-"""Pure-numpy COCO run-length-encoded mask decode/encode.
+"""COCO run-length-encoded mask decode/encode.
 
 Drop-in replacement for the pycocotools.mask functions the reference data
 layer depends on (reference: data/datasets.py:327 decode,
-data/datasets.py:77 encode) — pycocotools is a C extension; RLE is simple
-enough that a dependency-free numpy implementation is preferable.
+data/datasets.py:77 encode).  pycocotools is a C extension; this module
+pairs a native C codec (data/_native/rle.c, loaded via ctypes) with a
+pure-numpy fallback used when the shared object can't be built
+(NFI_NO_NATIVE=1 forces the fallback).
 """
 
 from __future__ import annotations
@@ -11,6 +13,8 @@ from __future__ import annotations
 from typing import Dict, List, Union
 
 import numpy as np
+
+from nerf_from_image_tpu.data import _native
 
 
 def _decode_counts(s: bytes) -> List[int]:
@@ -56,9 +60,13 @@ def decode(rle: Dict) -> np.ndarray:
     """RLE dict {'size': [h, w], 'counts': bytes|list} -> [h, w] uint8 mask."""
     h, w = rle["size"]
     counts = rle["counts"]
-    if isinstance(counts, (bytes, str)):
-        if isinstance(counts, str):
-            counts = counts.encode("ascii")
+    if isinstance(counts, str):
+        counts = counts.encode("ascii")
+    if _native.lib is not None:
+        if isinstance(counts, bytes):
+            counts = _native.decode_counts(counts)
+        return _native.runs_to_mask(np.asarray(counts, np.int64), h, w)
+    if isinstance(counts, bytes):
         counts = _decode_counts(counts)
     counts = np.asarray(counts, np.int64)
     total = int(counts.sum())
@@ -73,6 +81,9 @@ def decode(rle: Dict) -> np.ndarray:
 def encode(mask: np.ndarray) -> Dict:
     """[h, w] {0,1} mask -> compressed RLE dict (column-major runs)."""
     h, w = mask.shape
+    if _native.lib is not None:
+        runs = _native.mask_to_runs(np.asarray(mask, np.uint8))
+        return {"size": [h, w], "counts": _native.encode_counts(runs)}
     flat = np.asarray(mask, np.uint8).T.reshape(-1)
     # Run lengths with a leading zero-run if the mask starts with 1.
     change = np.nonzero(np.diff(flat))[0] + 1

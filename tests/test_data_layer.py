@@ -35,6 +35,54 @@ class TestCocoMask:
         out = coco_mask.decode(coco_mask.encode(mask))
         np.testing.assert_array_equal(out, mask)
 
+    def test_native_matches_python(self):
+        """The C codec (data/_native/rle.c) and the numpy fallback must be
+        byte-identical on encode and array-identical on decode."""
+        from nerf_from_image_tpu.data import _native, coco_mask
+
+        if _native.lib is None:
+            pytest.skip("native RLE codec not built")
+        rng = np.random.default_rng(1)
+        masks = [
+            (rng.random((h, w)) > t).astype(np.uint8)
+            for h, w, t in [(1, 1, 0.5), (7, 3, 0.1), (64, 64, 0.9),
+                            (128, 96, 0.5), (33, 1, 0.5)]
+        ] + [np.zeros((5, 9), np.uint8), np.ones((5, 9), np.uint8)]
+        for mask in masks:
+            h, w = mask.shape
+            # Python-path encode (bypasses the native branch).
+            flat = mask.T.reshape(-1)
+            change = np.nonzero(np.diff(flat))[0] + 1
+            runs = np.diff(np.concatenate(([0], change, [flat.size])))
+            runs = runs.tolist()
+            if flat[0] == 1:
+                runs = [0] + runs
+            py_counts = coco_mask._encode_counts(runs)
+
+            native_rle = coco_mask.encode(mask)
+            assert native_rle["counts"] == py_counts
+            assert native_rle["size"] == [h, w]
+
+            # Native decode vs python counts decode.
+            np.testing.assert_array_equal(
+                coco_mask.decode(native_rle), mask
+            )
+            assert coco_mask._decode_counts(py_counts) == list(
+                _native.decode_counts(py_counts)
+            )
+
+    def test_native_rejects_malformed(self):
+        from nerf_from_image_tpu.data import _native
+
+        if _native.lib is None:
+            pytest.skip("native RLE codec not built")
+        with pytest.raises(ValueError):
+            # Continuation bit set on the final byte: truncated stream.
+            _native.decode_counts(bytes([48 + 0x20]))
+        with pytest.raises(ValueError):
+            # Runs don't sum to h*w.
+            _native.runs_to_mask(np.array([1, 2], np.int64), 4, 4)
+
 
 def _import_reference_datasets():
     """Imports the reference data.datasets with stubs for the optional heavy
