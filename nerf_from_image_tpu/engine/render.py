@@ -212,13 +212,14 @@ def render_field(
             S,
             key=key_fine,
         ).reshape(B, H, W, S)
-        if sort_fine:
+        if sort_fine and key_fine is not None:
             # Randomized inverse-CDF draws are NOT depth-ordered (the
             # uniforms are unsorted); the dual-list compositor requires
             # each list individually sorted. A per-ray sort of S depths is
             # far cheaper than the reference's 2S merged sort +
-            # per-channel gather (run.py:283-335) — and a no-op in
-            # deterministic mode.
+            # per-channel gather (run.py:283-335). Deterministic mode
+            # evaluates the CDF inverse at increasing quantiles — already
+            # nondecreasing, so the sort is skipped.
             z_samples = jnp.sort(z_samples, axis=-1)
         z_samples = jax.lax.stop_gradient(z_samples)
         fine_points = (

@@ -11,12 +11,18 @@ lowering (scripts/profile_render.py, scripts/profile_gather.py):
   a few cycles/row ⇒ no faster). The win came from layout instead:
   corner-packing (4x fewer rows) and bf16 rows (3x rows/s), both pure XLA.
 * Backward scatter-add: 65 Mrows/s ≈ 530 GB/s of read-modify-write tile
-  traffic — already ~2/3 of HBM peak. Beating it needs points binned by
-  plane tile (a radix pipeline) so accumulation happens in VMEM; the sort
-  itself then dominates. Revisit if the scatter ever exceeds ~30% of step.
+  traffic — already ~2/3 of HBM peak. Measured insensitive to BOTH index
+  order (pre-sorted indices: 65.5 vs 65.7 Mrows/s random) and dtype (bf16
+  rows: 61.6 Mrows/s) — the scatter is descriptor/row-rate bound, so
+  point reordering and narrower rows buy nothing, and a VMEM-accumulating
+  Pallas kernel would serialize on per-point dynamic indexing (no
+  per-element VMEM gather/scatter on this generation). Revisit only with
+  an algorithmic reduction in scatter rows.
 * Compositing / sample_pdf / sort-merge: replaced by all-pairs masked
-  reductions (ops/compositing.composite_dual) that XLA fuses into VPU loop
-  fusions — measured at noise level after the rewrite.
+  reductions (ops/compositing.composite_dual; ops/sampling.sample_pdf's
+  masked prefix-extrema, which removed a 188 ms/step take_along_axis
+  chain) that XLA fuses into VPU loop fusions — measured at noise level
+  after the rewrites (scripts/profile_sampling2.py).
 
 VMEM on this chip is ~16 MB (probed: 1 MB scratch compiles, 16 MB does
 not), which rules out VMEM-resident packed tables [65536, 128] f32/bf16.

@@ -5,9 +5,9 @@ Functional JAX re-design of the reference samplers (reference:
 lib/nerf_utils.py:96-122 stratified, lib/nerf_utils.py:185-224 sample_pdf,
 lib/ops.py:20-26 stratified volume sampling). Randomness flows through
 explicit PRNG keys; `key=None` selects the deterministic variants used by
-golden tests and evaluation. searchsorted is expressed as a vectorized
-rank-count so it fuses into one XLA reduction (TPU-friendly: no host-side
-sort, no dynamic shapes).
+golden tests and evaluation. searchsorted-and-gather is expressed as masked
+prefix-extrema reductions that XLA fuses on the VPU (TPU-friendly: no
+gathers, no host-side sort, no dynamic shapes).
 """
 
 from __future__ import annotations
@@ -75,7 +75,9 @@ def sample_pdf(
     """Inverse-CDF importance sampling of new depths from per-bin weights.
 
     Args:
-      bins: [N, M] bin positions (midpoints of coarse depths).
+      bins: [N, M] bin positions (midpoints of coarse depths). Must be
+        nondecreasing along the last axis (the masked-extrema lookup below
+        relies on it; depth bins always are).
       weights: [N, M-1] unnormalized weights per interval.
       num_samples: number of new samples per ray, static.
       key: PRNG key; None = deterministic linspace quantiles.
@@ -95,19 +97,32 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,), dtype=dtype)
 
-    # searchsorted(cdf, u, right=True) == count of cdf entries <= u.
-    # Expressed as a rank-count so XLA fuses it into a single reduction;
-    # [N, num_samples, M] intermediate never materializes.
-    inds = jnp.sum(
-        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
-    )
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    # The reference gathers cdf/bins at searchsorted indices
+    # (lib/nerf_utils.py:191-213): below = searchsorted(cdf, u, right)-1,
+    # above = below+1 (edge-clamped). Index gathers along the lane axis are
+    # slow TPU gathers (measured 188 ms/step at bench shapes); because cdf
+    # and bins are BOTH nondecreasing along M, the gathered values are
+    # exactly prefix extrema of the comparison mask:
+    #   x[below] == max over {m : cdf_m <= u}  of x_m
+    #   x[above] == min over {m : cdf_m >  u}  of x_m   (or x_{M-1} if empty)
+    # (cdf_0 = 0 <= u, so the 'below' set is never empty). Expressed as
+    # masked reductions these fuse into four VPU loop fusions over the
+    # [N, num_samples, M] compare — no gather, no [.., M] materialization.
+    mask = cdf[..., None, :] <= u[..., :, None]
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    pos_inf = jnp.asarray(jnp.inf, dtype)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    def below_of(x):
+        return jnp.max(jnp.where(mask, x[..., None, :], neg_inf), axis=-1)
+
+    def above_of(x):
+        v = jnp.min(jnp.where(mask, pos_inf, x[..., None, :]), axis=-1)
+        return jnp.where(jnp.isfinite(v), v, x[..., -1:])
+
+    cdf_below = below_of(cdf)
+    cdf_above = above_of(cdf)
+    bins_below = below_of(bins)
+    bins_above = above_of(bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
