@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerf_from_image_tpu.ops.grid_sample import grid_sample_2d_zeros
+from nerf_from_image_tpu.ops.grid_sample import grid_sample_2d_zeros_packed
 from nerf_from_image_tpu.pose.pose import invert_space
 
 
@@ -92,7 +92,9 @@ def augment_image(
 
     if white_background:
         img = img - 1.0
-    out = grid_sample_2d_zeros(img, coords).reshape(B, H, W, C)
+    # One corner-packed gather per output pixel (identical arithmetic to the
+    # reference's 4-corner grid_sample; 1/4 the gather+scatter rows).
+    out = grid_sample_2d_zeros_packed(img, coords).reshape(B, H, W, C)
     if white_background:
         out = out + 1.0
     return out

@@ -117,3 +117,61 @@ def grid_sample_2d_zeros(table: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
         + corner(y0i + 1, x0i, wy1 * wx0)
         + corner(y0i + 1, x0i + 1, wy1 * wx1)
     )
+
+
+def grid_sample_2d_zeros_packed(
+    table: jnp.ndarray, coords: jnp.ndarray
+) -> jnp.ndarray:
+    """`grid_sample_2d_zeros` via one corner-packed gather per point.
+
+    Identical arithmetic (same four corner values, same FMA order, so
+    golden-exact vs the 4-gather path) at 1/4 the gather rows and 1/4 the
+    backward scatter rows — TPU gathers/scatters are row-rate bound (see
+    ops/triplane.py). The table is zero-padded by one pixel so the packed
+    row at the clamped base cell always holds the correct 2x2 neighborhood;
+    fully out-of-range corners are zeroed by the validity weights exactly
+    like the unpacked path.
+
+    Args:
+      table: [B, H, W, C]; coords: [B, N, 2] in [-1, 1] (x indexes W).
+    Returns:
+      [B, N, C].
+    """
+    from nerf_from_image_tpu.ops.triplane import pack_corners
+
+    B, H, W, C = table.shape
+    padded = jnp.pad(table, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = pack_corners(padded)  # [B, H+2, W+2, 4C]
+    Hp, Wp = H + 2, W + 2
+
+    ix = ((coords[..., 0] + 1.0) * W - 1.0) * 0.5
+    iy = ((coords[..., 1] + 1.0) * H - 1.0) * 0.5
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    wx1 = ix - ix0
+    wy1 = iy - iy0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    x0i = ix0.astype(jnp.int32)
+    y0i = iy0.astype(jnp.int32)
+    # Base cell in padded coordinates; the clip only engages when the whole
+    # 2x2 neighborhood is out of range, where validity zeroes every corner.
+    xb = jnp.clip(x0i + 1, 0, Wp - 2)
+    yb = jnp.clip(y0i + 1, 0, Hp - 2)
+
+    flat = packed.reshape(B * Hp * Wp, 4 * C)
+    batch_offset = (jnp.arange(B, dtype=jnp.int32) * (Hp * Wp))[:, None]
+    idx = (yb * Wp + xb + batch_offset).reshape(-1)
+    rows = jnp.take(flat, idx, axis=0, mode="clip").reshape(B, -1, 4 * C)
+
+    def vw(xi, yi, w):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return (w * valid.astype(table.dtype))[..., None]
+
+    return (
+        rows[..., :C] * vw(x0i, y0i, wy0 * wx0)
+        + rows[..., C : 2 * C] * vw(x0i + 1, y0i, wy0 * wx1)
+        + rows[..., 2 * C : 3 * C] * vw(x0i, y0i + 1, wy1 * wx0)
+        + rows[..., 3 * C :] * vw(x0i + 1, y0i + 1, wy1 * wx1)
+    )

@@ -418,6 +418,55 @@ class TestGridSample:
         g = jax.grad(lambda c: jnp.square(jax.grad(f)(c)).sum())(coords)
         assert np.isfinite(np.asarray(g)).all()
 
+    def test_zeros_packed_matches_unpacked(self):
+        """The corner-packed zeros sampler (used by ADA augmentation) is
+        bit-compatible with the 4-gather path, values and gradients,
+        including out-of-range and boundary-straddling coordinates."""
+        import torch
+        import torch.nn.functional as F
+
+        from nerf_from_image_tpu.ops import grid_sample
+
+        rng = np.random.default_rng(12)
+        B, H, W, C, N = 3, 13, 17, 6, 257
+        table = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        # Mix of interior, boundary-straddling, and far out-of-range coords.
+        coords = jnp.asarray(
+            rng.random((B, N, 2)) * 3.2 - 1.6, jnp.float32
+        )
+
+        ref = grid_sample.grid_sample_2d_zeros(table, coords)
+        got = grid_sample.grid_sample_2d_zeros_packed(table, coords)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+        # torch grid_sample zeros/align_corners=False oracle.
+        ref_torch = F.grid_sample(
+            torch.from_numpy(np.asarray(table).transpose(0, 3, 1, 2)),
+            torch.from_numpy(np.asarray(coords).reshape(B, 1, N, 2)),
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=False,
+        ).numpy()
+        got_nchw = np.transpose(np.asarray(got), (0, 2, 1)).reshape(
+            B, C, 1, N
+        )
+        np.testing.assert_allclose(got_nchw, ref_torch, rtol=1e-5, atol=1e-5)
+
+        def loss_unpacked(t, c):
+            return jnp.sum(grid_sample.grid_sample_2d_zeros(t, c) ** 2)
+
+        def loss_packed(t, c):
+            return jnp.sum(grid_sample.grid_sample_2d_zeros_packed(t, c) ** 2)
+
+        g_ref = jax.grad(loss_unpacked, argnums=(0, 1))(table, coords)
+        g_got = jax.grad(loss_packed, argnums=(0, 1))(table, coords)
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
 
 class TestPose:
     @pytest.fixture(scope="class")
