@@ -200,7 +200,9 @@ def main():
             )
         else:
             variables = ckpt.generator_variables_from_checkpoint(
-                ckpt.load_checkpoint(args.resume_from)
+                ckpt.load_checkpoint(
+                    ckpt.resolve_checkpoint_path(args.resume_from)
+                )
             )
         print("Loaded generator from", args.resume_from)
 
@@ -230,7 +232,9 @@ def main():
             )
         else:
             enc_vars = ckpt.encoder_variables_from_checkpoint(
-                ckpt.load_checkpoint(args.coord_resume_from)
+                ckpt.load_checkpoint(
+                    ckpt.resolve_checkpoint_path(args.coord_resume_from)
+                )
             )
         print("Loaded encoder from", args.coord_resume_from)
     encoder_fwd = jax.jit(

@@ -87,6 +87,7 @@ def main():
             )
             print("Loaded reference checkpoint", ckpt_path)
         else:
+            ckpt_path = ckpt.resolve_checkpoint_path(ckpt_path)
             variables = ckpt.generator_variables_from_checkpoint(
                 ckpt.load_checkpoint(ckpt_path)
             )
@@ -129,7 +130,9 @@ def main():
             )
         else:
             enc_vars = ckpt.encoder_variables_from_checkpoint(
-                ckpt.load_checkpoint(args.coord_resume_from)
+                ckpt.load_checkpoint(
+                    ckpt.resolve_checkpoint_path(args.coord_resume_from)
+                )
             )
         encoder_fwd = jax.jit(
             lambda v, x: encoder.apply(v, x, deterministic=True)
@@ -267,7 +270,12 @@ def main():
         report = eval_mod.InversionReport.load(report_ckpt_prefix)
         resume_idx = report.num_samples()
         print(f"Resuming inversion report at image {resume_idx}")
-    bs = args.batch_size
+    # Reference inversion batch: batch_size // 4 per device
+    # (run.py:1757 `batch_size // 4 * len(gpu_ids)`). Using the raw
+    # training batch size quadruples the live plane-gradient temps and
+    # OOMs a 16G chip at the default --batch_size 32.
+    n_dev = args.chips or jax.device_count()
+    bs = max(1, args.batch_size // 4) * n_dev
     key = jax.random.key(3)
     t0 = time.time()
 

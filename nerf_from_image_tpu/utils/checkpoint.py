@@ -121,6 +121,18 @@ def latest_checkpoint(directory: str, prefix: str = "checkpoint_"):
     return os.path.join(directory, best)
 
 
+def resolve_checkpoint_path(path: str) -> str:
+    """Resolves a --resume_from value to a loadable checkpoint directory.
+
+    Accepts either a checkpoint directory itself or an experiment directory
+    containing checkpoint_* subdirectories, in which case checkpoint_latest
+    (or the highest-numbered milestone) is picked — the reference's
+    `--resume_from name` convenience (reference: run.py:102-132)."""
+    path = _ckpt_dir(path)
+    inner = latest_checkpoint(path)
+    return inner if inner is not None else path
+
+
 def encoder_variables_from_checkpoint(restored) -> dict:
     """Extracts BootstrapEncoder variables from a coord-regressor training
     checkpoint (CoordTrainState — orbax restores it as a dict with

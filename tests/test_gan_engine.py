@@ -430,6 +430,31 @@ class TestCheckpointInterop:
             variables["buffers"]["b"], state["buffers_g"]["b"]
         )
 
+    def test_resolve_checkpoint_path(self, tmp_path):
+        """--resume_from accepts an experiment DIRECTORY: resolves to
+        checkpoint_latest, else the highest milestone, else is a no-op on
+        a concrete checkpoint path."""
+        import os
+
+        from nerf_from_image_tpu.utils import checkpoint as ckpt
+
+        exp = tmp_path / "exp"
+        for name in ("checkpoint_50", "checkpoint_200"):
+            (exp / name).mkdir(parents=True)
+        assert ckpt.resolve_checkpoint_path(str(exp)) == str(
+            exp / "checkpoint_200"
+        )
+        (exp / "checkpoint_latest").mkdir()
+        assert ckpt.resolve_checkpoint_path(str(exp)) == str(
+            exp / "checkpoint_latest"
+        )
+        concrete = str(exp / "checkpoint_50")
+        assert ckpt.resolve_checkpoint_path(concrete) == concrete
+        # Trailing slash (shell tab completion) also resolves.
+        assert ckpt.resolve_checkpoint_path(str(exp) + os.sep) == str(
+            exp / "checkpoint_latest"
+        )
+
     def test_encoder_variables_from_train_state(self, tmp_path):
         from nerf_from_image_tpu.engine.coord_regressor import (
             CoordRegressorConfig,

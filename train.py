@@ -174,6 +174,7 @@ def main():
             raise ValueError(
                 f"Specified checkpoint {args.resume_from} does not exist!"
             )
+        latest = ckpt.resolve_checkpoint_path(latest)
     else:
         latest = ckpt.latest_checkpoint(checkpoint_dir)
     if latest is not None:

@@ -75,7 +75,9 @@ def main():
             )
         else:
             gen_vars = ckpt.generator_variables_from_checkpoint(
-                ckpt.load_checkpoint(args.resume_from)
+                ckpt.load_checkpoint(
+                    ckpt.resolve_checkpoint_path(args.resume_from)
+                )
             )
         print("Loaded generator from", args.resume_from)
 
@@ -132,6 +134,7 @@ def main():
     elif resume_path:
         # Resume encoder training: params + optimizer + iteration
         # (reference: run.py:1575-1606 coords_checkpoints).
+        resume_path = ckpt.resolve_checkpoint_path(resume_path)
         restored = ckpt.load_checkpoint(resume_path, template=state)
         state = restored if isinstance(restored, type(state)) else \
             type(state)(*[restored[k] for k in state._fields]) \
