@@ -26,4 +26,13 @@ lowering (scripts/profile_render.py, scripts/profile_gather.py):
 
 VMEM on this chip is ~16 MB (probed: 1 MB scratch compiles, 16 MB does
 not), which rules out VMEM-resident packed tables [65536, 128] f32/bf16.
+
+Decoder reformulations were also measured and rejected
+(scripts/profile_decoder.py): at query-chunk granularity the per-plane
+corner FMA, a single 12-term fused FMA, and a corner-scaled [N, 384]
+tiled-matmul variant (which avoids every 4x-padded [N, 32] intermediate)
+are within ~5% of each other — XLA already fuses the FMA chain inside the
+chunked remat body; the [N, 32] T(8,128) padding blowup only bites in
+unchunked programs (where it OOMs the backward outright — query_chunk is
+load-bearing, see RenderConfig).
 """

@@ -28,7 +28,7 @@ def main():
     )
 
     B = 4
-    N = 128 * 128 * 128  # coarse+fine points per image
+    N = 128 * 128 * 64  # one sampling pass per image (x2 for coarse+fine)
     model = Generator(
         latent_dim=512, scene_range=1.4, attention_values=10, use_sdf=True
     )
