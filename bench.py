@@ -12,6 +12,7 @@ on one TPU v5e chip (the first recorded value of this benchmark); the
 reference repo publishes no throughput numbers (BASELINE.md).
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -47,9 +48,12 @@ def main():
     )
     # Production perf configuration: bf16 triplane gather tables (the
     # dominant HBM cost; golden-tested against the f32 path within
-    # tolerance — tests/test_triplane_packed.py) with rematerialized
-    # query chunks. Strict-f32 parity mode (plane_dtype=None) measures
-    # ~0.70x of this; scripts/bench_sweep.py reproduces the comparison.
+    # tolerance — tests/test_triplane_packed.py). query_chunk=None stores
+    # the bf16 gather residuals instead of rematerializing them — at bench
+    # shapes they fit HBM and the backward skips the second gather pass
+    # (+11% — scripts/bench_sweep.py); the chunked config is the fallback
+    # for smaller-memory parts. Strict-f32 parity mode (plane_dtype=None)
+    # measures ~0.60x of this.
     config = RenderConfig(
         resolution=RES,
         depth_samples_per_ray=SAMPLES,
@@ -57,7 +61,9 @@ def main():
         scene_range=1.4,
         white_background=False,
         plane_dtype="bfloat16",
+        query_chunk=None,
     )
+    fallback_config = dataclasses.replace(config, query_chunk=131072)
     variables = jax.jit(lambda k: model.init(k, method="init_all"))(
         jax.random.key(0)
     )
@@ -76,11 +82,14 @@ def main():
     focal = jnp.full((BATCH,), 1.2)
     ws = jax.random.normal(jax.random.key(1), (BATCH, model.num_ws, 512)) * 0.1
 
-    def loss_fn(ws, pose):
-        out, _ = render(config, model, variables, pose, focal, ws)
-        return jnp.sum(jnp.square(out.rgb)) + jnp.sum(jnp.square(out.mask))
+    def make_step(cfg):
+        def loss_fn(ws, pose):
+            out, _ = render(cfg, model, variables, pose, focal, ws)
+            return jnp.sum(jnp.square(out.rgb)) + jnp.sum(
+                jnp.square(out.mask)
+            )
 
-    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+        return jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
 
     def force(out):
         # On the axon TPU platform block_until_ready returns before
@@ -90,9 +99,16 @@ def main():
         leaf = jax.tree.leaves(out)[0]
         np.asarray(jax.device_get(leaf.ravel()[0:1]))
 
-    # Warmup / compile.
-    g = step(ws, pose)
-    force(g)
+    # Warmup / compile; fall back to rematerialized chunks if the
+    # unchunked residuals exceed this part's HBM.
+    step = make_step(config)
+    try:
+        g = step(ws, pose)
+        force(g)
+    except Exception:
+        step = make_step(fallback_config)
+        g = step(ws, pose)
+        force(g)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
