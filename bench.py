@@ -100,12 +100,21 @@ def main():
         np.asarray(jax.device_get(leaf.ravel()[0:1]))
 
     # Warmup / compile; fall back to rematerialized chunks if the
-    # unchunked residuals exceed this part's HBM.
+    # unchunked residuals exceed this part's HBM. The fallback is loudly
+    # reported on stderr so a silently degraded primary config can't
+    # masquerade as the headline number.
     step = make_step(config)
     try:
         g = step(ws, pose)
         force(g)
-    except Exception:
+    except Exception as e:
+        import sys
+
+        print(
+            f"bench: query_chunk=None failed ({type(e).__name__}); "
+            f"falling back to query_chunk={fallback_config.query_chunk}",
+            file=sys.stderr,
+        )
         step = make_step(fallback_config)
         g = step(ws, pose)
         force(g)

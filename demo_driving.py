@@ -130,32 +130,11 @@ def main():
     )
     enc_vars = None
     if args.coord_resume_from:
-        if args.coord_resume_from.endswith(".pth"):
-            from nerf_from_image_tpu.models.encoder import encoder_rename
-            from nerf_from_image_tpu.utils import torch_interop
+        from nerf_from_image_tpu.utils import checkpoint as ckpt
 
-            enc_init = encoder.init(
-                jax.random.key(1),
-                jnp.zeros((1, args.resolution, args.resolution, 3)),
-            )
-            sd = torch_interop.load_torch_checkpoint(
-                args.coord_resume_from, key="model_coord"
-            )
-            sd = {k.replace("module.", ""): v for k, v in sd.items()}
-            enc_vars = jax.tree.map(
-                jnp.asarray,
-                torch_interop.state_dict_to_variables(
-                    dict(enc_init), sd, rename=encoder_rename
-                ),
-            )
-        else:
-            from nerf_from_image_tpu.utils import checkpoint as ckpt
-
-            enc_vars = ckpt.encoder_variables_from_checkpoint(
-                ckpt.load_checkpoint(
-                    ckpt.resolve_checkpoint_path(args.coord_resume_from)
-                )
-            )
+        enc_vars = ckpt.load_encoder_variables(
+            encoder, args.coord_resume_from, args.resolution
+        )
 
     lpips_model = LPIPS()
     lpips_vars = init_lpips_variables(

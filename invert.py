@@ -110,30 +110,9 @@ def main():
             latent_dim=model.w_dim,
             separate_backbones=args.inv_use_separate,
         )
-        if args.coord_resume_from.endswith(".pth"):
-            from nerf_from_image_tpu.models.encoder import encoder_rename
-            from nerf_from_image_tpu.utils import torch_interop
-
-            enc_init = encoder.init(
-                jax.random.key(4),
-                jnp.zeros((1, args.resolution, args.resolution, 3)),
-            )
-            sd = torch_interop.load_torch_checkpoint(
-                args.coord_resume_from, key="model_coord"
-            )
-            sd = {k.replace("module.", ""): v for k, v in sd.items()}
-            enc_vars = jax.tree.map(
-                jnp.asarray,
-                torch_interop.state_dict_to_variables(
-                    dict(enc_init), sd, rename=encoder_rename
-                ),
-            )
-        else:
-            enc_vars = ckpt.encoder_variables_from_checkpoint(
-                ckpt.load_checkpoint(
-                    ckpt.resolve_checkpoint_path(args.coord_resume_from)
-                )
-            )
+        enc_vars = ckpt.load_encoder_variables(
+            encoder, args.coord_resume_from, args.resolution
+        )
         encoder_fwd = jax.jit(
             lambda v, x: encoder.apply(v, x, deterministic=True)
         )
@@ -199,6 +178,20 @@ def main():
         else args.plane_dtype,
         merge_mode=args.merge_mode,
     )
+
+    # SPMD data parallelism: params replicated, batch leaves sharded over
+    # the mesh 'data' axis — the analog of the reference's DataParallel
+    # inversion batch scaling (run.py:1757).
+    from nerf_from_image_tpu.parallel import mesh as mesh_mod
+
+    n_dev = args.chips or jax.device_count()
+    mesh = mesh_mod.make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+    variables = mesh_mod.replicate(mesh, variables)
+    lpips_vars = mesh_mod.replicate(mesh, lpips_vars)
+    if enc_vars is not None:
+        enc_vars = mesh_mod.replicate(mesh, enc_vars)
+    if inc_vars is not None:
+        inc_vars = mesh_mod.replicate(mesh, inc_vars)
 
     invert = jax.jit(
         inv_mod.make_invert_fn(
@@ -273,8 +266,8 @@ def main():
     # Reference inversion batch: batch_size // 4 per device
     # (run.py:1757 `batch_size // 4 * len(gpu_ids)`). Using the raw
     # training batch size quadruples the live plane-gradient temps and
-    # OOMs a 16G chip at the default --batch_size 32.
-    n_dev = args.chips or jax.device_count()
+    # OOMs a 16G chip at the default --batch_size 32. The batch leaves are
+    # sharded over the mesh, so the per-device share stays batch_size//4.
     bs = max(1, args.batch_size // 4) * n_dev
     key = jax.random.key(3)
     t0 = time.time()
@@ -317,13 +310,15 @@ def main():
             )
         sel = target_split.select(idx)
         sel_perm = target_split.select(idx_perm)
-        target_img = jnp.asarray(sel.images)
-        pose_gt = jnp.asarray(sel.tform_cam2world)
-        focal_gt = (
-            jnp.asarray(sel.focal_length)
-            if sel.focal_length is not None
-            else None
+        shard = lambda x: (
+            None if x is None else mesh_mod.shard_batch(mesh, jnp.asarray(x))
         )
+        target_img = shard(sel.images)
+        pose_gt = shard(sel.tform_cam2world)
+        focal_gt = shard(sel.focal_length)
+        perm_pose = shard(sel_perm.tform_cam2world)
+        perm_focal = shard(sel_perm.focal_length)
+        perm_imgs = shard(sel_perm.images)
 
         # Init: regressed latent + PnP pose when the bootstrap encoder is
         # loaded; average w + ground-truth-frame pose otherwise.
@@ -355,6 +350,10 @@ def main():
         pose_params = inv_mod.pose_params_from_matrix(
             init_pose, init_focal, config_ds.camera_flipped
         )
+        # Pin the optimizable leaves to the data-sharded layout so the
+        # whole scan partitions over the mesh.
+        z0 = mesh_mod.shard_batch(mesh, z0)
+        pose_params = mesh_mod.shard_batch(mesh, pose_params)
 
         def take_real(tree):
             """Drops padded tail rows before accumulation."""
@@ -371,10 +370,7 @@ def main():
         })
         metrics0 = eval_fn(
             z0, pose_params, target_img, pose_gt,
-            jnp.asarray(sel_perm.tform_cam2world),
-            jnp.asarray(sel_perm.focal_length)
-            if sel_perm.focal_length is not None else None,
-            jnp.asarray(sel_perm.images),
+            perm_pose, perm_focal, perm_imgs,
         )
         report.add(0, take_real(jax.device_get(metrics0)), recovered)
 
@@ -400,10 +396,7 @@ def main():
             )
             metrics_n = eval_fn(
                 z_f, pose_f, target_img, pose_gt,
-                jnp.asarray(sel_perm.tform_cam2world),
-                jnp.asarray(sel_perm.focal_length)
-                if sel_perm.focal_length is not None else None,
-                jnp.asarray(sel_perm.images),
+                perm_pose, perm_focal, perm_imgs,
             )
             report.add(n_steps, take_real(jax.device_get(metrics_n)),
                        take_real({
@@ -450,12 +443,7 @@ def main():
                 pose_f, config_ds.camera_flipped
             )
             out_f = demo_render(z_f, cam_f, focal_f)
-            out_n = demo_render(
-                z_f,
-                jnp.asarray(sel_perm.tform_cam2world),
-                jnp.asarray(sel_perm.focal_length)
-                if sel_perm.focal_length is not None else None,
-            )
+            out_n = demo_render(z_f, perm_pose, perm_focal)
             rows = []
             for b in range(n_real):
                 panels = [np.asarray(target_img)[b, ..., :3]]

@@ -25,9 +25,10 @@ lib = None
 
 def _build() -> bool:
     cc = os.environ.get("CC", "cc")
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
-    os.close(fd)
+    tmp = None
     try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+        os.close(fd)
         subprocess.run(
             [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True,
@@ -37,10 +38,11 @@ def _build() -> bool:
         os.replace(tmp, _SO)
         return True
     except Exception:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return False
 
 

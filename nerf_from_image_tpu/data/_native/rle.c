@@ -70,7 +70,10 @@ EXPORT int64_t rle_encode_counts(const int64_t *counts, int64_t m, char *out,
 EXPORT int64_t rle_runs_to_mask(const int64_t *counts, int64_t m, int64_t h,
                                 int64_t w, uint8_t *out) {
     int64_t total = 0;
-    for (int64_t j = 0; j < m; j++) total += counts[j];
+    for (int64_t j = 0; j < m; j++) {
+        if (counts[j] < 0) return -2; /* malformed: negative run length */
+        total += counts[j];
+    }
     if (total != h * w || h <= 0 || w <= 0) return -1;
     memset(out, 0, (size_t)(h * w));
     int64_t p = 0;

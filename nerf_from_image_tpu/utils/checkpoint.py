@@ -121,6 +121,35 @@ def latest_checkpoint(directory: str, prefix: str = "checkpoint_"):
     return os.path.join(directory, best)
 
 
+def load_encoder_variables(encoder, path: str, resolution: int = 128):
+    """Loads BootstrapEncoder variables from either a reference `.pth`
+    (key 'model_coord', DataParallel 'module.' prefixes, reference naming)
+    or an orbax checkpoint / experiment directory. Shared by the
+    invert / eval_driving / demo_driving drivers."""
+    import jax
+    import jax.numpy as jnp
+
+    if path.endswith(".pth"):
+        from nerf_from_image_tpu.models.encoder import encoder_rename
+        from nerf_from_image_tpu.utils import torch_interop
+
+        enc_init = encoder.init(
+            jax.random.key(0),
+            jnp.zeros((1, resolution, resolution, 3)),
+        )
+        sd = torch_interop.load_torch_checkpoint(path, key="model_coord")
+        sd = {k.replace("module.", ""): v for k, v in sd.items()}
+        return jax.tree.map(
+            jnp.asarray,
+            torch_interop.state_dict_to_variables(
+                dict(enc_init), sd, rename=encoder_rename
+            ),
+        )
+    return encoder_variables_from_checkpoint(
+        load_checkpoint(resolve_checkpoint_path(path))
+    )
+
+
 def resolve_checkpoint_path(path: str) -> str:
     """Resolves a --resume_from value to a loadable checkpoint directory.
 

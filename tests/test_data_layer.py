@@ -82,6 +82,10 @@ class TestCocoMask:
         with pytest.raises(ValueError):
             # Runs don't sum to h*w.
             _native.runs_to_mask(np.array([1, 2], np.int64), 4, 4)
+        with pytest.raises(ValueError):
+            # Negative runs must be rejected even when the total cancels
+            # to h*w (would index out of bounds otherwise).
+            _native.runs_to_mask(np.array([-5, 105], np.int64), 10, 10)
 
 
 def _import_reference_datasets():
