@@ -55,6 +55,7 @@ def build_dataset(args):
             args.nusc_data_dir, args.nusc_version, img_size=args.resolution,
             white_bkgd=True,
             external_pose_file=args.external_pose_file,
+            index_file=args.driving_index_file or None,
         )
     if args.dataset == "kitti":
         from nerf_from_image_tpu.data.driving import KittiDrivingDataset

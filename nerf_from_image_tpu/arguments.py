@@ -93,6 +93,9 @@ def parse_args(argv=None):
     parser.add_argument("--nusc_version", default="v1.0-mini")
     parser.add_argument("--max_num_samples", type=int, default=500)
     parser.add_argument("--external_pose_file", default=None)
+    parser.add_argument("--driving_index_file", default=None,
+                        help="override the packaged nuScenes eval-subset "
+                             "index JSON (data/index/nusc.*.json)")
     parser.add_argument("--no_optimize_pose", action="store_true")
     parser.add_argument("--init_pose_type", default="pnp",
                         help="pnp (known intrinsics) | pnp_focal_search "

@@ -223,3 +223,43 @@ class TestInversionLoop:
         )
         assert pose_f.z0 is None
         assert np.isfinite(np.asarray(losses)).all()
+
+
+class TestInvertDriverEndToEnd:
+    """invert.main() on the synthetic dataset over the 8-device CPU mesh:
+    batch = max(1, batch_size//4) * n_devices, batch leaves sharded over
+    the mesh 'data' axis, report written and resumable."""
+
+    def test_end_to_end_sharded(self, tmp_path, monkeypatch):
+        import sys
+
+        import invert as invert_driver
+        import nerf_from_image_tpu.models.generator as gen_mod
+
+        orig_gen = gen_mod.Generator
+
+        def tiny_generator(**kw):
+            kw.update(w_dim=64, plane_channels=8, synthesis_resolution=16,
+                      channel_base=512, channel_max=64)
+            return orig_gen(**kw)
+
+        monkeypatch.setattr(gen_mod, "Generator", tiny_generator)
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "invert.py", "--dataset", "synthetic", "--batch_size", "4",
+            "--resolution", "16", "--inv_steps", "2", "--max_images", "16",
+            "--latent_dim", "64", "--query_chunk", "0",
+            "--root_path", str(tmp_path),
+        ])
+        invert_driver.main()
+
+        report = tmp_path / "reports" / "inv_synthetic" / "report.npz"
+        assert report.exists()
+        data = np.load(str(report))
+        # bs = max(1, 4//4) * 8 devices = 8; 16 images -> 2 batches, all
+        # real rows accumulated.
+        for step in (0, 2):
+            assert f"step{step}/psnr" in data.files
+            assert len(data[f"step{step}/psnr"]) == 16
+        txt = tmp_path / "reports" / "inv_synthetic" / "report.txt"
+        assert txt.exists()
