@@ -146,6 +146,7 @@ def main():
         lr_gain_z=args.inv_gain_z,
         loss=args.inv_loss,
         camera_flipped=config_ds.camera_flipped,
+        white_background=True,
     )
     render_config = RenderConfig(
         resolution=args.resolution,

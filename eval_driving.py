@@ -237,6 +237,7 @@ def main():
         loss=args.inv_loss,
         optimize_pose=not args.no_optimize_pose,
         camera_flipped=config_ds.camera_flipped,
+        white_background=config_ds.white_background,
     )
     render_config = RenderConfig(
         resolution=args.resolution,

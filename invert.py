@@ -164,6 +164,7 @@ def main():
         ),
         camera_flipped=config_ds.camera_flipped,
         is_ortho=config_ds.is_ortho,
+        white_background=config_ds.white_background,
     )
     render_config = RenderConfig(
         resolution=args.resolution,

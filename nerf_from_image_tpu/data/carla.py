@@ -60,10 +60,15 @@ def load_carla_split(
         else images_hr
     )
     n = len(images)
+    # The reference reads the intrinsics center only to assert it is
+    # shared across samples and never wires it into the split
+    # (data/loaders.py:472-478; DatasetSplit.center stays None) — rays are
+    # generated with the default principal point. Passing the file's
+    # center here would shift every CARLA ray vs the reference render.
+    del center
     return DatasetSplit(
         images=images.astype(np.float32),
         images_highres=images_hr.astype(np.float32) if highres else None,
         tform_cam2world=pose_mats,
         focal_length=np.full((n,), focal / original_res, np.float32),
-        center=np.tile(center / original_res, (n, 1)),
     )

@@ -241,13 +241,21 @@ class KittiObjectReader:
     <root>/<split>/{image_2, label_2, calib, velodyne, pred_instance}
     """
 
-    def __init__(self, root: str, split: str = "training"):
+    def __init__(self, root: str, split: str = "training",
+                 is_waymo: bool = False):
         self.split_dir = os.path.join(root, split)
+        # Waymo-as-KITTI exports use image/ and label/ instead of the
+        # KITTI image_2/ and label_2/ (reference: data/waymo_object.py:54-55
+        # vs data/kitti_object.py:54-55).
+        self.image_dir = "image" if is_waymo else "image_2"
+        self.label_dir = "label" if is_waymo else "label_2"
 
     def image(self, idx) -> np.ndarray:
         import imageio.v2 as imageio
 
-        path = os.path.join(self.split_dir, "image_2", f"{int(idx):06d}.png")
+        path = os.path.join(
+            self.split_dir, self.image_dir, f"{int(idx):06d}.png"
+        )
         return imageio.imread(path)[..., :3]
 
     def lidar(self, idx) -> np.ndarray:
@@ -260,7 +268,9 @@ class KittiObjectReader:
         )
 
     def labels(self, idx) -> List[KittiLabel]:
-        path = os.path.join(self.split_dir, "label_2", f"{int(idx):06d}.txt")
+        path = os.path.join(
+            self.split_dir, self.label_dir, f"{int(idx):06d}.txt"
+        )
         with open(path) as f:
             return [KittiLabel.parse(line) for line in f if line.strip()]
 
@@ -273,7 +283,9 @@ class KittiDrivingDataset:
                  white_bkgd: bool = False, split: str = "training",
                  index_file: Optional[str] = None,
                  is_waymo: bool = False):
-        self.reader = KittiObjectReader(kitti_data_dir, split)
+        self.reader = KittiObjectReader(
+            kitti_data_dir, split, is_waymo=is_waymo
+        )
         self.seg_dir = os.path.join(kitti_data_dir, split, "pred_instance")
         self.img_size = img_size
         self.white_bkgd = white_bkgd

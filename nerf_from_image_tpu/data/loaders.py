@@ -161,7 +161,8 @@ def load_dataset(
         test = _materialize_collection(
             inst("test", resolution, True, False), highres=False
         )
-        test.bbox = test.bbox  # test keeps its crop bbox
+        # (test keeps its crop bbox — only train/cub bboxes are cleared
+        # below, matching the reference.)
 
     # Reference post-processing (data/loaders.py:377-399).
     if dataset == "cub":

@@ -180,8 +180,13 @@ class NuScenesLite:
         intrinsic = np.asarray(cs_c["camera_intrinsic"], float)
         points = view_points(pc, intrinsic, normalize=True)
 
-        img_path = os.path.join(self.dataroot, cam["filename"])
-        w, h = imageio.imread(img_path).shape[1], imageio.imread(img_path).shape[0]
+        # sample_data records carry the image dimensions — decoding the
+        # full-resolution JPEG just for .shape costs ~15-20 ms per call.
+        w, h = cam.get("width"), cam.get("height")
+        if not w or not h:
+            img_path = os.path.join(self.dataroot, cam["filename"])
+            shape = imageio.imread(img_path).shape
+            h, w = shape[0], shape[1]
         mask = (
             (depths > min_dist)
             & (points[0] > 1)

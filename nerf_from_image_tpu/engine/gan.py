@@ -160,7 +160,11 @@ def init_gan_state(
         opt_d=opt_d,
         iteration=jnp.zeros((), jnp.int32),
         ppl_running_avg=-jnp.ones(()),
-        augment_p_eff=jnp.zeros(()),
+        # Fixed-probability augmentation applies from the very first
+        # iteration (reference: run.py:950-952); only ADA ramps from 0.
+        augment_p_eff=jnp.asarray(
+            0.0 if config.augment_ada else config.augment_p, jnp.float32
+        ),
         params_d2=params_d2,
         opt_d2=opt_d2,
     )
@@ -335,7 +339,12 @@ def g_step(
             pl_mean = ppl_avg * (1 - config.pl_decay) + jnp.mean(
                 ppl
             ) * config.pl_decay
-            ppl_loss = jnp.mean(jnp.square(ppl - pl_mean))
+            # The running-average target is detached in the reference
+            # (updated via .item(), run.py:1035-1040) — no gradient may
+            # flow through mean(ppl) into the penalty's target.
+            ppl_loss = jnp.mean(
+                jnp.square(ppl - jax.lax.stop_gradient(pl_mean))
+            )
             loss = loss + pl_weight * ppl_loss
             metrics["loss_ppl"] = ppl_loss
             ppl_avg = jax.lax.stop_gradient(pl_mean)
@@ -499,11 +508,12 @@ def d_step(
             (fake_img, pose_f, focal_f, cond_f, label_f),
         )
         metrics.update(m0)
-        updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
-        params_d = optax.apply_updates(state.params_d, updates)
         metrics["grad_norm_d"] = optax.global_norm(grads)
+    else:
+        grads = None
 
     params_d2, opt_d2 = state.params_d2, state.opt_d2
+    grads2 = None
     if config.dual_discriminator:
         rb2 = real_batch2 if real_batch2 is not None else real_batch
         fb2 = fake_batch2 if fake_batch2 is not None else fake_batch
@@ -526,6 +536,24 @@ def d_step(
             suffix="_uncond",
         )
         metrics.update(m1)
+
+    if grads is not None and grads2 is not None:
+        # The reference clips ONE parameter list spanning both
+        # discriminators (run.py:684-688, clip at run.py:1184) — scale
+        # both by the combined global norm; the per-optimizer clip inside
+        # tx_d is then a no-op.
+        joint_norm = optax.global_norm((grads, grads2))
+        scale = jnp.minimum(
+            1.0,
+            config.clip_gradient_norm / jnp.maximum(joint_norm, 1e-12),
+        )
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        grads2 = jax.tree.map(lambda g: g * scale, grads2)
+        metrics["grad_norm_d"] = joint_norm
+    if grads is not None:
+        updates, opt_d = tx_d.update(grads, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates)
+    if grads2 is not None:
         updates2, opt_d2 = tx_d.update(grads2, state.opt_d2, state.params_d2)
         params_d2 = optax.apply_updates(state.params_d2, updates2)
 

@@ -41,6 +41,10 @@ class InversionConfig:
     optimize_pose: bool = True
     camera_flipped: bool = False
     is_ortho: bool = False
+    # Padding of the crop-augmented loss views: the reference's augment
+    # fills out-of-bounds regions with white on white-background datasets
+    # (run.py:760-768, 798-806).
+    white_background: bool = False
 
 
 class PoseParams(NamedTuple):
@@ -103,7 +107,7 @@ def reconstruction_loss(
             pair = jnp.repeat(pair, n_aug, axis=0)
             pair_aug, _, _, _ = augment_mod.augment(
                 key, pair, None, None, jnp.asarray(1.0),
-                white_background=False,
+                white_background=config.white_background,
             )
             pred_aug = jnp.concatenate(
                 (rgb_predicted, pair_aug[..., :3]), axis=0

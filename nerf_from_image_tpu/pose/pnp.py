@@ -129,8 +129,12 @@ def _gauss_newton_refine(R, t, pts, uv, w, iters: int = 20, damping=1e-6):
                 -2,
             )  # [N, 3, 3]
 
-        # cross_jac(c) == -[c]_x, which IS d(omega x c)/d omega.
-        dcam_domega = cross_jac(cam)
+        # cross_jac(c) == -[c]_x, which IS d(omega x c)/d omega. The update
+        # below is R <- rodrigues(omega) @ R with t UNROTATED, i.e.
+        # cam(omega, dt) = rodrigues(omega) @ (R p) + t + dt — so the
+        # rotation Jacobian acts on R p = cam - t, not on cam (using cam
+        # here would mis-linearize the translation by omega x t).
+        dcam_domega = cross_jac(cam - t)
         Ju_omega = jnp.einsum("ni,nij->nj", du, dcam_domega)
         Jv_omega = jnp.einsum("ni,nij->nj", dv, dcam_domega)
         Ju = jnp.concatenate((Ju_omega, du), -1)  # [N, 6]

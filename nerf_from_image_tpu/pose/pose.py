@@ -59,7 +59,9 @@ def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
     single = m.ndim == 2
     if single:
         m = m[None]
-    m = m.astype(jnp.float64) if m.dtype == jnp.float64 else m
+    # The reference extracts in float64 numpy (lib/pose_utils.py:79); here
+    # the conversion runs in the input dtype (f32 on TPU) — the golden
+    # tests bound the difference, and inversion re-normalizes q each step.
 
     m00, m01, m02 = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
     m10, m11, m12 = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]

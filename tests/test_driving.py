@@ -423,3 +423,36 @@ class TestDrivingEvalPipeline:
         data = np.load(str(report))
         assert len(data["step0/psnr"]) == 1
         assert np.isfinite(data["step1/rot_error"]).all()
+
+
+class TestKittiObjectReaderLayout:
+    """Waymo-as-KITTI exports use image/ + label/; KITTI uses image_2/ +
+    label_2/ (reference: data/waymo_object.py:54-55 vs
+    data/kitti_object.py:54-55)."""
+
+    def test_kitti_vs_waymo_dirs(self, tmp_path):
+        import imageio.v2 as imageio
+
+        from nerf_from_image_tpu.data.driving import KittiObjectReader
+
+        line = ("Car 0.0 0 -1.5 0 0 10 10 "
+                "1.5 1.6 3.9 1.0 1.5 20.0 -1.2\n")
+        for is_waymo, img_dir, lbl_dir in (
+            (False, "image_2", "label_2"),
+            (True, "image", "label"),
+        ):
+            root = tmp_path / ("waymo" if is_waymo else "kitti")
+            sd = root / "training"
+            (sd / img_dir).mkdir(parents=True)
+            (sd / lbl_dir).mkdir()
+            imageio.imwrite(
+                str(sd / img_dir / "000000.png"),
+                np.zeros((4, 6, 3), np.uint8),
+            )
+            (sd / lbl_dir / "000000.txt").write_text(line)
+            reader = KittiObjectReader(
+                str(root), "training", is_waymo=is_waymo
+            )
+            assert reader.image(0).shape == (4, 6, 3)
+            labels = reader.labels(0)
+            assert labels[0].type == "Car" and labels[0].ry == -1.2
