@@ -68,8 +68,14 @@ def make_synthetic_split(
         if with_mask_channel:
             img = np.concatenate((img, mask[..., None]), axis=-1)
         images.append(img)
+    # Class labels (2 classes by sphere size) so --use_class paths can
+    # smoke-train without external data (the reference's class-conditional
+    # dataset is CUB, data/datasets.py:412-571).
+    classes = (rng.rand(n_images) < 0.5).astype(np.int64)
     return DatasetSplit(
         images=np.stack(images),
         tform_cam2world=poses,
         focal_length=focal,
+        classes=classes,
+        num_classes=2,
     )

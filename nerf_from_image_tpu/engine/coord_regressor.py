@@ -90,7 +90,7 @@ def coord_train_step(
     batch: camera draws {'pose', 'focal', 'center', 'bbox'} from the train
     split's pose distribution.
     """
-    k_z, k_render = jax.random.split(key)
+    k_z, k_render, k_drop = jax.random.split(key, 3)
     bs = batch["pose"].shape[0]
     z = jax.random.normal(k_z, (bs, config.latent_dim))
 
@@ -117,8 +117,13 @@ def coord_train_step(
     target_image, target_mask, target_coords, target_w = target
 
     def loss_fn(params):
+        # Training runs with stochastic depth active (the reference trains
+        # the SegFormer in .train() mode, run.py:1619 — drop-path ramped to
+        # 0.1, models/segformer.py:24-37); inference paths stay
+        # deterministic.
         pred_coords, pred_mask, pred_w = encoder_model.apply(
-            {"params": params}, target_image, deterministic=True
+            {"params": params}, target_image, deterministic=False,
+            rngs={"dropout": k_drop},
         )
         return coord_losses(
             pred_coords, pred_mask, pred_w, target_coords, target_mask,

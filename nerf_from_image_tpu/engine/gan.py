@@ -604,8 +604,13 @@ def sdf_pretrain_step(
     opt,
     key,
     buffers=None,
+    cond_image=None,
+    labels=None,
 ):
-    """One step of unit-sphere SDF pretraining (reference: run.py:821-869)."""
+    """One step of unit-sphere SDF pretraining (reference: run.py:821-869).
+
+    Conditional modes pretrain with their conditioning too: encoder mode
+    draws train images, class mode random labels (run.py:831-839)."""
     k_z, k_reg = jax.random.split(key)
     z = jax.random.normal(k_z, (config.batch_size, config.latent_dim))
 
@@ -613,7 +618,7 @@ def sdf_pretrain_step(
         variables = {"params": params}
         if buffers:
             variables["buffers"] = buffers
-        ws = model.apply(variables, z, method="mapping")
+        ws = model.apply(variables, z, labels, cond_image, method="mapping")
         losses = regularizers.sdf_pretrain_losses(model, variables, ws, k_reg)
         loss = jnp.mean(losses["sdf_distance_loss"]) + config.eikonal * jnp.mean(
             losses["sdf_eikonal_loss"]

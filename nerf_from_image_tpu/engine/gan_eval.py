@@ -24,16 +24,26 @@ def compute_real_fid_stats(
     resolution: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Inception statistics of a real-image split (reference:
-    run.py:385-404). images: [N, H, W, C] in [-1, 1] (host array)."""
+    run.py:385-404). images: [N, H, W, C] in [-1, 1] (host array).
+
+    `resolution`: evaluation resolution; when it is half the stored image
+    size the reference anti-aliases with a 2x average pool
+    (run.py:393-394, evaluation_res == 64) — reproduced here."""
+
+    def prep(x):
+        im = jnp.asarray(x[..., :3]) / 2.0 + 0.5
+        if resolution is not None and im.shape[1] == 2 * resolution:
+            B, H, W, C = im.shape
+            im = im.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+        return im
+
     fwd = jax.jit(lambda x: inception_model.apply(inception_vars, x))
     acts = []
     n = len(images)
     for i in range(0, n - n % batch_size, batch_size):
-        im = jnp.asarray(images[i : i + batch_size, ..., :3]) / 2.0 + 0.5
-        acts.append(jax.device_get(fwd(im)))
+        acts.append(jax.device_get(fwd(prep(images[i : i + batch_size]))))
     if n % batch_size:
-        im = jnp.asarray(images[n - n % batch_size:, ..., :3]) / 2.0 + 0.5
-        acts.append(jax.device_get(fwd(im)))
+        acts.append(jax.device_get(fwd(prep(images[n - n % batch_size:]))))
     activations = jnp.asarray(np.concatenate(acts))
     return fid_mod.calculate_stats(activations)
 

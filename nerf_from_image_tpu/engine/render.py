@@ -390,7 +390,15 @@ def render(
     viewdir_embedding = None
     if config.use_viewdir:
         B, H, W, _ = ray_directions.shape
-        viewdirs = ray_directions.reshape(B, H * W, 1, 3)
+        dirs_for_view = (
+            jax.lax.stop_gradient(ray_directions)
+            if force_no_cam_grad
+            else ray_directions
+        )
+        # force_no_cam_grad must also detach the view-direction path (the
+        # reference detaches ray_directions before building viewdirs,
+        # run.py:211-219).
+        viewdirs = dirs_for_view.reshape(B, H * W, 1, 3)
         # [B, H*W, 1, F'] -> per-ray [B, H*W, F']; render_field expands it
         # per point so it chunks alongside the query points.
         viewdir_embedding = model.apply(

@@ -342,12 +342,24 @@ class Generator(nn.Module):
             c = self.class_embedding(label)
         return self.mapping_network(z, c)
 
-    def average_w(self, key, n_samples: int = 10000):
+    def average_w(self, key, n_samples: int = 10000, label=None):
         """Mean w over latent samples (inversion init; reference
-        models/generator.py:263-282)."""
-        z = jax.random.normal(key, (n_samples, self.latent_dim))
-        w = self.mapping_network(z, None)
-        return jnp.mean(w, axis=0, keepdims=True)
+        models/generator.py:263-282).
+
+        Unconditional: 10k samples -> [1, num_ws, w_dim]. Class-conditional:
+        pass `label` [B] int labels; 256 samples per label (reference's
+        conditional branch) -> [B, num_ws, w_dim]."""
+        if label is None:
+            z = jax.random.normal(key, (n_samples, self.latent_dim))
+            w = self.mapping_network(z, None)
+            return jnp.mean(w, axis=0, keepdims=True)
+        assert self.num_classes, "label given but model is unconditional"
+        n = min(n_samples, 256)
+        B = label.shape[0]
+        z = jax.random.normal(key, (B * n, self.latent_dim))
+        c = self.class_embedding(jnp.repeat(label, n))
+        w = self.mapping_network(z, c)
+        return jnp.mean(w.reshape((B, n) + w.shape[1:]), axis=1)
 
     # ---- synthesis -------------------------------------------------------
 

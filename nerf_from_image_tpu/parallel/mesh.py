@@ -74,8 +74,16 @@ def replicate(mesh: Mesh, tree):
 
 
 def initialize_distributed(**kwargs):
-    """Multi-host init (DCN); no-op when running single-process."""
+    """Multi-host init (DCN); no-op when running single-process.
+
+    With explicit kwargs (coordinator address etc.) failures are REAL
+    misconfigurations and must propagate — swallowing them would leave
+    each host training an independent, silently-unsynced replica. Only the
+    zero-config probe (no cluster environment detected / already
+    initialized) is allowed to fall through to single-process mode."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # Already initialized or single-process environment.
+    except (RuntimeError, ValueError) as e:
+        if kwargs and "already initialized" not in str(e).lower():
+            raise
+

@@ -126,7 +126,19 @@ def main():
         nc=4 if args.supervise_alpha else 3,
         camera_flipped=config_ds.camera_flipped,
         conditional_pose=args.conditional_pose,
+        use_encoder=args.use_encoder,
+        num_classes=train_split.num_classes if args.use_class else None,
     )
+    # Second, unconditional discriminator for dual mode (reference:
+    # run.py:641-644 — pose-conditioned but no image/class embedding).
+    disc2 = None
+    if args.dual_discriminator:
+        disc2 = Discriminator(
+            resolution=args.resolution,
+            nc=4 if args.supervise_alpha else 3,
+            camera_flipped=config_ds.camera_flipped,
+            conditional_pose=args.conditional_pose,
+        )
     config = gan.GANTrainConfig(
         batch_size=args.batch_size,
         latent_dim=args.latent_dim,
@@ -148,6 +160,11 @@ def main():
         ada_target=args.ada_target,
         noise_mode="none" if args.disable_stylegan_noise else "random",
         use_sdf=args.use_sdf,
+        use_encoder=args.use_encoder,
+        use_class=args.use_class,
+        dual_discriminator=args.dual_discriminator,
+        dual_l1=args.dual_discriminator_l1,
+        dual_mse=args.dual_discriminator_mse,
     )
     render_config = RenderConfig(
         resolution=args.resolution,
@@ -165,7 +182,9 @@ def main():
 
     key = jax.random.key(1234)
     key, k_init = jax.random.split(key)
-    state = gan.init_gan_state(config, model, disc, k_init, render_config)
+    state = gan.init_gan_state(
+        config, model, disc, k_init, render_config, disc2=disc2
+    )
 
     start_iter = 0
     if args.resume_from:
@@ -215,40 +234,78 @@ def main():
             batch["focal"] = jnp.asarray(sel.focal_length)
         if sel.center is not None:
             batch["center"] = jnp.asarray(sel.center)
-        if with_images:
+        if args.use_class and sel.classes is not None:
+            batch["classes"] = jnp.asarray(sel.classes)
+        if with_images or args.use_encoder:
+            # Encoder-conditional mode conditions the generator on the
+            # drawn images even on G / fake draws (reference:
+            # run.py:959-1009).
             nc = 4 if args.supervise_alpha else 3
             batch["images"] = jnp.asarray(sel.images[..., :nc])
-            if sel.images_highres is not None:
+            if with_images and sel.images_highres is not None:
                 batch["images_highres"] = jnp.asarray(
                     sel.images_highres[..., :nc]
                 )
         return mesh_mod.shard_batch(mesh, batch)
 
-    # SDF pretraining (reference: run.py:821-869).
+    # SDF pretraining (reference: run.py:821-869). Conditional modes
+    # pretrain with their conditioning: encoder mode draws train images,
+    # class mode random labels (run.py:831-839).
     if args.use_sdf and start_iter == 0:
         print("SDF pretraining...")
         pretrain_opt = optax.adam(args.lr_g)
         pre_state = pretrain_opt.init(state.params_g)
         pre_step = jax.jit(
-            lambda p, o, k: gan.sdf_pretrain_step(
-                config, model, p, o, pretrain_opt, k, buffers=state.buffers_g
+            lambda p, o, k, img, lbl: gan.sdf_pretrain_step(
+                config, model, p, o, pretrain_opt, k,
+                buffers=state.buffers_g, cond_image=img, labels=lbl,
             )
         )
+        pre_rng = np.random.default_rng(4321)
+        n_train = len(train_split)
+
+        def pre_cond():
+            img = lbl = None
+            if args.use_encoder:
+                sel = train_split.select(
+                    pre_rng.integers(0, n_train, args.batch_size)
+                )
+                img = mesh_mod.shard_batch(
+                    mesh, jnp.asarray(sel.images[..., :3])
+                )
+            if args.use_class:
+                lbl = mesh_mod.shard_batch(
+                    mesh,
+                    jnp.asarray(
+                        pre_rng.integers(
+                            0, train_split.num_classes, args.batch_size
+                        )
+                    ),
+                )
+            return img, lbl
+
         params_g = state.params_g
         for i in range(args.sdf_pretrain_steps):
             key, k = jax.random.split(key)
-            params_g, pre_state, loss = pre_step(params_g, pre_state, k)
+            img, lbl = pre_cond()
+            params_g, pre_state, loss = pre_step(
+                params_g, pre_state, k, img, lbl
+            )
             if i % 100 == 0:
                 print(f"  [{i}] sdf pretrain loss {float(loss):.4f}")
         state = state._replace(params_g=params_g, params_ema=params_g)
         print("SDF pretraining done.")
 
     g_step = jax.jit(
-        lambda s, b, k: gan.g_step(config, render_config, model, disc, s, b, k)
+        lambda s, b, k, b2=None: gan.g_step(
+            config, render_config, model, disc, s, b, k,
+            disc2=disc2, batch2=b2,
+        )
     )
     d_step = jax.jit(
-        lambda s, rb, fb, k: gan.d_step(
-            config, render_config, model, disc, s, rb, fb, k
+        lambda s, rb, fb, k, rb2=None, fb2=None: gan.d_step(
+            config, render_config, model, disc, s, rb, fb, k,
+            disc2=disc2, real_batch2=rb2, fake_batch2=fb2,
         )
     )
 
@@ -367,12 +424,25 @@ def main():
     with jax.sharding.set_mesh(mesh):
         for i in range(start_iter, args.iterations):
             key, k = jax.random.split(key)
+            # Draws use a 4x stride so dual mode's independent second
+            # camera/real/fake draws never collide with the primary ones;
+            # the stream stays a pure function of the iteration.
             if i % 2 == 0:
-                state, metrics = g_step(state, host_batch(2 * i, False), k)
+                b2 = (
+                    host_batch(4 * i + 2, False)
+                    if args.dual_discriminator else None
+                )
+                state, metrics = g_step(
+                    state, host_batch(4 * i, False), k, b2
+                )
             else:
+                rb2 = fb2 = None
+                if args.dual_discriminator:
+                    rb2 = host_batch(4 * i + 2, True)
+                    fb2 = host_batch(4 * i + 3, False)
                 state, metrics = d_step(
-                    state, host_batch(2 * i, True),
-                    host_batch(2 * i + 1, False), k
+                    state, host_batch(4 * i, True),
+                    host_batch(4 * i + 1, False), k, rb2, fb2,
                 )
             if i == 3 or (i + 1) % display_every == 0:
                 m = {k_: float(v) for k_, v in metrics.items()}

@@ -48,6 +48,15 @@ def main():
         assert args.resume_from, "--dataset or --resume_from required"
         args.dataset = autodetect_dataset(args.resume_from)
         print("Autodetected dataset:", args.dataset)
+    # Per-dataset defaults apply here exactly like in train.py (reference
+    # applies override_default_args before train_coord_regressor) — CARLA
+    # in particular trains its generator with view-dependent color.
+    from nerf_from_image_tpu.data.loaders import get_train_overrides
+
+    overrides = get_train_overrides(args.dataset)
+    args.use_viewdir = args.use_viewdir or overrides.use_viewdir
+    args.supervise_alpha = args.supervise_alpha or overrides.supervise_alpha
+
     config_ds, train_split, _, _ = load_dataset(
         args.dataset, args.data_path, resolution=args.resolution,
         augment_p=0.0, max_images=args.max_images,
@@ -57,6 +66,7 @@ def main():
         latent_dim=args.latent_dim,
         scene_range=config_ds.scene_range,
         attention_values=args.attention_values,
+        use_viewdir=args.use_viewdir,
         use_sdf=args.use_sdf,
     )
     gen_vars = jax.jit(lambda k: generator.init(k, method="init_all"))(
@@ -86,10 +96,13 @@ def main():
         latent_dim=generator.w_dim,
         separate_backbones=args.inv_use_separate,
     )
+    max_iters = args.iterations if args.iterations != 300000 else 120000
     config = cr.CoordRegressorConfig(
         batch_size=args.batch_size,
         latent_dim=args.latent_dim,
-        max_iters=args.iterations if args.iterations != 300000 else 120000,
+        max_iters=max_iters,
+        # lr drops /10 at 50% of the schedule (reference: run.py:1690-1694).
+        lr_drop_at=max_iters // 2,
     )
     render_config = RenderConfig(
         resolution=args.resolution,
@@ -97,6 +110,7 @@ def main():
         fine_sampling=args.fine_sampling,
         scene_range=config_ds.scene_range,
         white_background=config_ds.white_background,
+        use_viewdir=args.use_viewdir,
         query_chunk=args.query_chunk or None,
         plane_dtype=None
         if args.plane_dtype == "float32"
