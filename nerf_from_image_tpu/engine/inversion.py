@@ -39,6 +39,10 @@ class InversionConfig:
     loss: str = "vgg"  # 'vgg' | 'vgg_nocrop' | 'l1' | 'mse' | 'mixed'
     num_augmentations: int = 15
     optimize_pose: bool = True
+    # Driving evals hold the (known) focal fixed while still optimizing
+    # R/s/t (reference: eval_nusc_persp.py:1219-1221 param_list without
+    # focal). z0's gradient is masked so Adam's moments stay zero for it.
+    optimize_focal: bool = True
     camera_flipped: bool = False
     is_ortho: bool = False
     # Padding of the crop-augmented loss views: the reference's augment
