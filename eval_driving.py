@@ -236,6 +236,7 @@ def main():
         lr_gain_z=args.inv_gain_z,
         loss=args.inv_loss,
         optimize_pose=not args.no_optimize_pose,
+        optimize_focal=False,
         camera_flipped=config_ds.camera_flipped,
         white_background=config_ds.white_background,
     )

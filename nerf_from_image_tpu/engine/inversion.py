@@ -206,6 +206,20 @@ def make_invert_fn(
             loss, grads = jax.value_and_grad(loss_fn)(
                 opt_params, pose_fixed, k_render, k_aug
             )
+            if (
+                config.optimize_pose
+                and not config.optimize_focal
+                and grads["pose"].z0 is not None
+            ):
+                # Driving evals hold the known focal fixed: z0 is not in the
+                # reference's param_list (eval_nusc_persp.py:1219-1221).
+                # Zero grad => zero Adam moments => z0 never moves.
+                grads = {
+                    "z": grads["z"],
+                    "pose": grads["pose"]._replace(
+                        z0=jnp.zeros_like(grads["pose"].z0)
+                    ),
+                }
             updates, opt_state = tx.update(grads, opt_state, opt_params)
             opt_params = optax.apply_updates(opt_params, updates)
             if config.optimize_pose:

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from tests.test_gan_engine import tiny_models
 
 
-def _tiny_setup(optimize_pose=True, loss="mse", is_ortho=False, res=24):
+def _tiny_setup(optimize_pose=True, loss="mse", is_ortho=False, res=24,
+                optimize_focal=True):
     from nerf_from_image_tpu.engine import inversion as inv_mod
     from nerf_from_image_tpu.engine.render import RenderConfig
     from nerf_from_image_tpu.models.lpips import LPIPS
@@ -24,6 +25,7 @@ def _tiny_setup(optimize_pose=True, loss="mse", is_ortho=False, res=24):
         steps=12,
         loss=loss,
         optimize_pose=optimize_pose,
+        optimize_focal=optimize_focal,
         is_ortho=is_ortho,
         num_augmentations=2,
     )
@@ -199,6 +201,34 @@ class TestInversionLoop:
                                       np.asarray(params.q))
         np.testing.assert_array_equal(np.asarray(pose_f.t2),
                                       np.asarray(params.t2))
+        assert not np.array_equal(np.asarray(z_f), np.asarray(z0))
+
+    def test_optimize_focal_false_keeps_z0(self):
+        # Driving evals hold the known focal fixed while still optimizing
+        # R/s/t (reference: eval_nusc_persp.py:1219-1221 excludes z0 from
+        # param_list).
+        (inv_mod, model, variables, config, render_config, lpips_model,
+         lpips_vars) = _tiny_setup(loss="l1", res=16, optimize_focal=False)
+        target = jnp.zeros((1, 16, 16, 3))
+        z0 = jax.random.normal(jax.random.key(0), (1, 1, 64)) / 5.0
+        params = inv_mod.pose_params_from_matrix(
+            _pose(), jnp.asarray([1.2]), camera_flipped=False
+        )
+        invert = jax.jit(
+            inv_mod.make_invert_fn(
+                config, render_config, model, variables, lpips_model,
+                lpips_vars,
+            ),
+            static_argnames=("n_steps",),
+        )
+        z_f, pose_f, losses = invert(
+            z0, params, target, jax.random.key(1), n_steps=3
+        )
+        np.testing.assert_array_equal(np.asarray(pose_f.z0),
+                                      np.asarray(params.z0))
+        # Pose is still optimized and the latent moves.
+        assert not np.array_equal(np.asarray(pose_f.t2),
+                                  np.asarray(params.t2))
         assert not np.array_equal(np.asarray(z_f), np.asarray(z0))
 
     def test_ortho_camera_path(self):
