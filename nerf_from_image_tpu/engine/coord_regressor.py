@@ -94,8 +94,12 @@ def coord_train_step(
     bs = batch["pose"].shape[0]
     z = jax.random.normal(k_z, (bs, config.latent_dim))
 
-    # Data generation from the frozen EMA generator.
-    w = generator.apply(generator_ema_variables, z, method="mapping")
+    # Data generation from the frozen EMA generator. Class-conditional
+    # generators condition the mapping on the sampled images' labels
+    # (reference: run.py:1634-1638 model_ema.class_embedding).
+    w = generator.apply(
+        generator_ema_variables, z, batch.get("classes"), method="mapping"
+    )
     coords_config = dataclasses.replace(render_config, compute_coords=True)
     out, _ = render(
         coords_config,

@@ -155,6 +155,72 @@ class TestCoordRegressorStep:
         finally:
             enc_mod.Segformer = orig
 
+    def test_step_class_conditional(self):
+        # Class-conditional generators condition the EMA mapping on sampled
+        # labels during encoder distillation (reference: run.py:1634-1638).
+        from nerf_from_image_tpu.engine import coord_regressor as cr
+        from nerf_from_image_tpu.engine.render import RenderConfig
+        from nerf_from_image_tpu.models.generator import Generator
+        import nerf_from_image_tpu.models.encoder as enc_mod
+
+        gen = Generator(
+            latent_dim=32,
+            scene_range=0.55,
+            attention_values=0,
+            use_sdf=True,
+            w_dim=32,
+            plane_channels=8,
+            synthesis_resolution=16,
+            channel_base=256,
+            channel_max=32,
+            num_classes=3,
+        )
+        gen_vars = gen.init(jax.random.key(0), method="init_all")
+        orig = enc_mod.Segformer
+
+        def tiny_seg(out_features, name, **kw):
+            return orig(
+                out_features=out_features,
+                embed_dims=(8, 8, 8, 8),
+                num_heads=(1, 1, 1, 1),
+                depths=(1, 1, 1, 1),
+                decoder_dim=16,
+                name=name,
+            )
+
+        enc_mod.Segformer = tiny_seg
+        try:
+            encoder = enc_mod.BootstrapEncoder(latent_dim=32)
+            config = cr.CoordRegressorConfig(batch_size=2, latent_dim=32)
+            render_config = RenderConfig(
+                resolution=16,
+                depth_samples_per_ray=4,
+                fine_sampling=False,
+                scene_range=0.55,
+                white_background=True,
+            )
+            x = jnp.zeros((1, 16, 16, 3))
+            params = encoder.init(jax.random.key(1), x)["params"]
+            tx = cr.make_optimizer(config)
+            state = cr.CoordTrainState(
+                params, tx.init(params), jnp.zeros((), jnp.int32)
+            )
+            mats = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+            mats[:, 2, 3] = 2.5
+            batch = {
+                "pose": jnp.asarray(mats),
+                "focal": jnp.ones((2,)) * 1.2,
+                "classes": jnp.asarray([0, 2], jnp.int32),
+            }
+            _, losses = jax.jit(
+                lambda s, b, k: cr.coord_train_step(
+                    config, render_config, gen, gen_vars, encoder, s, b, k
+                )
+            )(state, batch, jax.random.key(2))
+            assert np.isfinite(float(losses["loss"]))
+        finally:
+            enc_mod.Segformer = orig
+
     def test_lr_schedule_drops(self):
         from nerf_from_image_tpu.engine import coord_regressor as cr
 

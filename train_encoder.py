@@ -68,6 +68,7 @@ def main():
         attention_values=args.attention_values,
         use_viewdir=args.use_viewdir,
         use_sdf=args.use_sdf,
+        num_classes=train_split.num_classes if args.use_class else None,
     )
     gen_vars = jax.jit(lambda k: generator.init(k, method="init_all"))(
         jax.random.key(0)
@@ -181,6 +182,14 @@ def main():
             batch = {"pose": jnp.asarray(sel.tform_cam2world)}
             if sel.focal_length is not None:
                 batch["focal"] = jnp.asarray(sel.focal_length)
+            # The reference samples center/bbox/class alongside the pose
+            # (run.py:1625-1638).
+            if sel.center is not None:
+                batch["center"] = jnp.asarray(sel.center)
+            if sel.bbox is not None:
+                batch["bbox"] = jnp.asarray(sel.bbox)
+            if args.use_class and sel.classes is not None:
+                batch["classes"] = jnp.asarray(sel.classes)
             batch = mesh_mod.shard_batch(mesh, batch)
             key, k = jax.random.split(key)
             state, losses = step(state, batch, k)
