@@ -62,6 +62,7 @@ def main():
         augment_p=0.0,
         need_test=args.inv_use_testset or overrides.inv_use_testset,
         max_images=args.max_images,
+        imagenet_testset=args.inv_use_imagenet_testset,
     )
     target_split = test_split if test_split is not None else train_eval_split
 
@@ -254,8 +255,9 @@ def main():
         eval_indices = eval_indices[shuffle_idx]
         eval_perm = eval_perm[shuffle_idx]
 
+    split_tag = "_imagenettest" if args.inv_use_imagenet_testset else ""
     report_dir = os.path.join(args.root_path, "reports",
-                              f"inv_{args.dataset}")
+                              f"inv_{args.dataset}{split_tag}")
     report_ckpt_prefix = os.path.join(report_dir, "report_checkpoint")
     report = eval_mod.InversionReport(checkpoint_steps)
     resume_idx = 0

@@ -90,8 +90,39 @@ class CustomCollection:
             return
 
         self.detections = np.load(det_path, allow_pickle=True)
+
+        valid_indices = None
+        if split == "imagenet_test":
+            # ImageNet-car images not present in the p3d train set, evaluated
+            # with the multi-template poses (reference:
+            # data/datasets.py:101-130, --inv_use_imagenet_testset).
+            aux_dataset = dataset.replace("p3d", "imagenet")
+            aux_dir = os.path.join(root_dir, "imagenet", aux_dataset)
+            detections_aux = np.load(
+                os.path.join(aux_dir, "detections.npy"), allow_pickle=True
+            )
+            poses_path = os.path.join(
+                aux_dir, "poses_estimated_multitpl_perspective.bin"
+            )
+            train_names = {
+                os.path.basename(str(item["image_path"]))
+                for item in self.detections
+            }
+            valid_indices = np.array(
+                [
+                    os.path.basename(str(item["image_path"]))
+                    not in train_names
+                    for item in detections_aux
+                ]
+            )
+            self.detections = detections_aux
+
         poses = self._load_poses(poses_path)
         self.detections = self.detections[poses["indices"]]
+        if valid_indices is not None:
+            valid_indices = valid_indices[poses["indices"]]
+            self.detections = self.detections[valid_indices]
+            poses = {k: v[valid_indices] for k, v in poses.items()}
         # Perspective remap (reference: data/datasets.py:131-139).
         f = 1.0 + np.exp(poses["z0"])
         t = np.concatenate(

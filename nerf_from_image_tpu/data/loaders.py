@@ -100,6 +100,7 @@ def load_dataset(
     need_test: bool = False,
     use_class: bool = False,
     max_images: Optional[int] = None,
+    imagenet_testset: bool = False,
 ) -> Tuple[DatasetConfig, DatasetSplit, DatasetSplit, Optional[DatasetSplit]]:
     config = get_dataset_config(dataset)
     overrides = get_train_overrides(dataset)
@@ -158,8 +159,15 @@ def load_dataset(
     )
     test = None
     if need_test and config.views_per_object_test:
+        # p3d_car optionally evaluates on held-out ImageNet-car images
+        # (reference: data/loaders.py:271-276, --inv_use_imagenet_testset).
+        test_name = (
+            "imagenet_test"
+            if (dataset == "p3d_car" and imagenet_testset)
+            else "test"
+        )
         test = _materialize_collection(
-            inst("test", resolution, True, False), highres=False
+            inst(test_name, resolution, True, False), highres=False
         )
         # (test keeps its crop bbox — only train/cub bboxes are cleared
         # below, matching the reference.)

@@ -300,6 +300,76 @@ class TestImageGrid:
         assert grid[0, 7, 0] == 255 and grid[7, 0, 0] == 0
 
 
+class TestImagenetTestSplit:
+    """p3d_car's held-out ImageNet evaluation split: ImageNet-car images
+    whose basenames are NOT in the p3d train set, with multi-template poses
+    (reference: data/datasets.py:101-139, --inv_use_imagenet_testset)."""
+
+    @staticmethod
+    def _write_collection(root, rel_dir, names, pose_file):
+        import imageio.v2 as imageio
+        import os
+
+        img_dir = os.path.join(root, rel_dir, "images")
+        os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
+        os.makedirs(img_dir, exist_ok=True)
+        dets = []
+        rng = np.random.RandomState(0)
+        for name in names:
+            path = os.path.join(img_dir, name)
+            imageio.imwrite(
+                path, rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)
+            )
+            dets.append(
+                {
+                    "image_path": os.path.join(rel_dir, "images", name),
+                    "bbox": np.array([0.0, 0.0, 7.0, 7.0]),
+                    "mask_raw": np.ones((8, 8), np.uint8),
+                }
+            )
+        np.save(
+            os.path.join(root, rel_dir, "detections.npy"),
+            np.array(dets, dtype=object),
+        )
+        n = len(names)
+        np.savez(
+            os.path.join(root, rel_dir, pose_file + ".npz"),
+            indices=np.arange(n),
+            z0=np.zeros((n, 1), np.float32),
+            s=np.ones((n, 1), np.float32),
+            t=np.zeros((n, 2), np.float32),
+            R=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        )
+
+    def test_filters_train_basenames(self, tmp_path):
+        from nerf_from_image_tpu.data.custom import CustomCollection
+
+        root = str(tmp_path)
+        self._write_collection(
+            root, "p3d/p3d_car", ["a.png", "b.png", "c.png"],
+            "poses_estimated_singletpl_perspective.bin",
+        )
+        self._write_collection(
+            root, "imagenet/imagenet_car",
+            ["b.png", "c.png", "d.png", "e.png"],
+            "poses_estimated_multitpl_perspective.bin",
+        )
+        col = CustomCollection(
+            "p3d_car", "imagenet_test", 8, root, crop=True,
+            add_mirrored=False,
+        )
+        assert len(col) == 2
+        kept = {
+            str(item["image_path"]).split("/")[-1]
+            for item in col.detections
+        }
+        assert kept == {"d.png", "e.png"}
+        s = col.sample(0)
+        assert s["img"].shape == (8, 8, 4)
+        assert s["pose"].shape == (4, 4)
+        assert np.isfinite(s["focal"]).all()
+
+
 class TestStepIndexedSampler:
     def test_epoch_coverage(self):
         from nerf_from_image_tpu.data.splits import StepIndexedSampler
