@@ -45,6 +45,13 @@ def main():
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
     args = arguments.parse_args()
+    if args.inv_train_coord_only:
+        # Train the bootstrap encoder and exit (reference: run.py:1806-1808).
+        # Encoder training lives in its own driver here.
+        import train_encoder
+
+        train_encoder.main()
+        return
     if args.dataset == "autodetect":
         # Dataset from the checkpoint/experiment name (reference:
         # run.py:62-64).

@@ -3,7 +3,7 @@
 Mirrors the reference's flag surface (reference: arguments.py:18-276) so a
 user of the reference can drive this framework with the same commands; the
 `--gpus` flag becomes `--chips` (mesh size) and TPU-specific knobs are added
-(dtype, query chunk).
+(plane storage dtype, query chunk, merge mode).
 """
 
 from __future__ import annotations
@@ -106,8 +106,6 @@ def parse_args(argv=None):
     parser.add_argument("--coord_resume_from", type=str)
 
     # TPU-specific
-    parser.add_argument("--dtype", type=str, default="float32",
-                        help="Compute dtype: float32 | bfloat16")
     parser.add_argument("--query_chunk", type=int, default=131072)
     parser.add_argument("--plane_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],

@@ -50,6 +50,13 @@ def main():
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
     args = arguments.parse_args()
+    if args.run_inversion:
+        # Reference CLI compatibility: run.py --run_inversion skips GAN
+        # training and runs the hybrid-inversion driver (run.py:1743).
+        import invert
+
+        invert.main()
+        return
     assert args.dataset != "autodetect", "--dataset required for training"
     overrides = get_train_overrides(args.dataset)
     if args.augment_p == 0:
