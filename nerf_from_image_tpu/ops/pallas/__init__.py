@@ -27,6 +27,18 @@ lowering (scripts/profile_render.py, scripts/profile_gather.py):
 VMEM on this chip is ~16 MB (probed: 1 MB scratch compiles, 16 MB does
 not), which rules out VMEM-resident packed tables [65536, 128] f32/bf16.
 
+Round-2 re-check with an op-level trace (scripts/profile_trace.py, v5e,
+bench config bf16/chunk=None, 727 ms/step): the six backward scatter-add
+fusions (3 planes x 2 passes, each bf16[4xHW,128] <- 4.2M update rows)
+account for ~368 ms/step at ~68 Mrows/s; forward gathers ~46 ms; decoder
+FMA/MLP fusions ~60 ms; sampling/compositing ~25 ms; synthesis ~30 ms.
+A VMEM-accumulating Pallas scatter was re-derived and rejected again:
+the f32 table (33.5 MB) exceeds VMEM, so tiling forces re-streaming the
+6 GB of update rows per tile pass (~same HBM traffic as XLA's RMW), and
+channel-tiling reads the same full tiles. Batch scaling was also measured
+(scripts/bench_batch_sweep.py): B=6/8 unchunked OOM, and the chunked-remat
+fallback at B>=8 drops to ~52 krays/s — B=4 unchunked is the optimum.
+
 Decoder reformulations were also measured and rejected
 (scripts/profile_decoder.py): at query-chunk granularity the per-plane
 corner FMA, a single 12-term fused FMA, and a corner-scaled [N, 384]
