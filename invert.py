@@ -174,9 +174,13 @@ def main():
         is_ortho=config_ds.is_ortho,
         white_background=config_ds.white_background,
     )
+    # Without fine sampling the reference renders 128 samples/ray
+    # (run.py:511-514) and the optimization loop additionally multiplies by
+    # 4 (ray_multiplier, run.py:2271) while eval renders stay at 128
+    # (ParallelModel default, run.py:576).
     render_config = RenderConfig(
         resolution=args.resolution,
-        depth_samples_per_ray=64 if args.fine_sampling else 256,
+        depth_samples_per_ray=64 if args.fine_sampling else 512,
         fine_sampling=args.fine_sampling,
         scene_range=config_ds.scene_range,
         white_background=config_ds.white_background,
@@ -209,9 +213,16 @@ def main():
         ),
         static_argnames=("n_steps",),
     )
+    import dataclasses as _dc0
+
+    eval_render_config = (
+        render_config
+        if args.fine_sampling
+        else _dc0.replace(render_config, depth_samples_per_ray=128)
+    )
     eval_fn = jax.jit(
         eval_mod.make_eval_fn(
-            inv_config, render_config, model, variables, lpips_model,
+            inv_config, eval_render_config, model, variables, lpips_model,
             lpips_vars, inception_model=inception,
             inception_variables=inc_vars, has_mask=config_ds.has_mask,
         )
@@ -290,7 +301,7 @@ def main():
     from nerf_from_image_tpu.utils import tb
 
     demo_config = _dc.replace(
-        render_config, compute_normals=bool(args.use_sdf)
+        eval_render_config, compute_normals=bool(args.use_sdf)
     )
 
     def _demo_render(z, cam, focal):
