@@ -31,6 +31,10 @@ def parse_args(argv=None):
     # General settings
     parser.add_argument("--chips", type=int, default=0,
                         help="Number of TPU chips for the mesh (0 = all)")
+    parser.add_argument("--gpus", type=int, default=0,
+                        help="Reference-CLI compatibility alias for --chips "
+                             "(reference arguments.py:22-25); device count "
+                             "maps onto the TPU mesh size")
     parser.add_argument("--dataset", type=str, default="autodetect",
                         help="Dataset among (shapenet_*, p3d_*, cub, "
                              "imagenet_*, carla, synthetic)")
@@ -130,6 +134,8 @@ def parse_args(argv=None):
         args.inv_export_demo_sample = True
     if args.inv_export_demo_sample:
         args.run_inversion = True
+    if args.gpus and not args.chips:
+        args.chips = args.gpus
     return args
 
 

@@ -116,6 +116,17 @@ class TestExperimentName:
         ) == ref_arguments.suggest_experiment_name(ref_args)
 
 
+class TestGpusAlias:
+    def test_gpus_maps_to_chips(self):
+        """Reference-CLI `--gpus N` (reference arguments.py:22-25) selects
+        the mesh size unless `--chips` is given explicitly."""
+        from nerf_from_image_tpu import arguments
+
+        assert arguments.parse_args(["--gpus", "4"]).chips == 4
+        assert arguments.parse_args(["--gpus", "4", "--chips", "2"]).chips == 2
+        assert arguments.parse_args([]).chips == 0
+
+
 class TestReportRoundtrip:
     def test_save_and_reaggregate(self, tmp_path):
         from nerf_from_image_tpu.engine.evaluate import InversionReport
