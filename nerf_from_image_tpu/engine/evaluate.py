@@ -186,7 +186,12 @@ class InversionReport:
         for step, item in self.consolidated().items():
             for k, v in item.items():
                 flat[f"step{step}/{k}"] = v
-        np.savez(path_prefix + ".npz", **flat)
+        # Write-then-rename: a crash mid-write must not corrupt the
+        # resume checkpoint of a multi-hour inversion run (load() would
+        # raise on a truncated zip and lose the resume cursor).
+        tmp = path_prefix + ".tmp.npz"  # np.savez appends .npz otherwise
+        np.savez(tmp, **flat)
+        os.replace(tmp, path_prefix + ".npz")
         with open(path_prefix + ".txt", "w") as f:
             f.write(self.summary(fid_stats_real) + "\n")
 

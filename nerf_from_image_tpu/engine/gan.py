@@ -170,9 +170,12 @@ def init_gan_state(
     )
 
 
-def _ema_decay(iteration, batch_size: int):
-    """Warmup-accelerated EMA decay (reference: run.py:365-377)."""
-    alpha = 0.5 ** (batch_size / 10000.0)
+def _ema_decay(iteration):
+    """Warmup-accelerated EMA decay (reference: run.py:365-377).
+
+    The base decay is 0.5**(32/10000) with a hardcoded 32 in the
+    reference — it does NOT scale with the configured batch size."""
+    alpha = 0.5 ** (32.0 / 10000.0)
     return jnp.where(
         iteration < 1000,
         alpha**100,
@@ -180,8 +183,8 @@ def _ema_decay(iteration, batch_size: int):
     )
 
 
-def update_ema(params_ema, params_g, iteration, batch_size: int):
-    a = _ema_decay(iteration, batch_size)
+def update_ema(params_ema, params_g, iteration):
+    a = _ema_decay(iteration)
     return jax.tree.map(lambda e, p: e * a + p * (1.0 - a), params_ema, params_g)
 
 
@@ -356,9 +359,7 @@ def g_step(
     updates, opt_g = tx_g.update(grads, state.opt_g, state.params_g)
     params_g = optax.apply_updates(state.params_g, updates)
     params_g = _clamp_sdf_params(params_g, config.use_sdf)
-    params_ema = update_ema(
-        state.params_ema, params_g, state.iteration, config.batch_size
-    )
+    params_ema = update_ema(state.params_ema, params_g, state.iteration)
     metrics["grad_norm_g"] = optax.global_norm(grads)
 
     return (
@@ -520,14 +521,21 @@ def d_step(
         real_img2, pose_r2, focal_r2 = _prepare_real_phase(
             config, state, rb2, keys[4]
         )
+        # The reference's second-D fake phase reuses the FIRST fake
+        # phase's z tuple — latents, conditioning image, and class label —
+        # and only redraws poses (run.py:1113-1118: sample_batch returns
+        # `_, _` for z at discriminator_idx > 0). Same latent key
+        # (keys[2]) and fake_batch-sourced conditioning here.
+        cond_f2 = (
+            fake_batch["images"][..., :3]
+            if (config.use_encoder and "images" in fake_batch)
+            else None
+        )
+        label_f2 = fake_batch.get("classes") if config.use_class else None
         fake_img2, pose_f2, focal_f2 = _render_fake_phase(
             config, render_config, model, state, fb2,
-            (keys[5], keys[6], keys[7]),
-            cond_image=(
-                fb2["images"][..., :3]
-                if (config.use_encoder and "images" in fb2)
-                else None
-            ),
+            (keys[5], keys[2], keys[7]),
+            cond_image=cond_f2, labels=label_f2,
         )
         grads2, m1 = _d_branch(
             config, disc2 or disc, state.params_d2,

@@ -160,11 +160,23 @@ def render_field(
                 (B, H * W, s_pass, viewdir_embedding.shape[-1]),
             ).reshape(B, n_points, -1)
         chunk = config.query_chunk
-        if chunk and n_points > chunk and n_points % chunk == 0:
-            n_chunks = n_points // chunk
-            chunked = flat.reshape(B, n_chunks, chunk, 3).swapaxes(0, 1)
+        if chunk and n_points > chunk:
+            # Pad to a chunk multiple so the memory bound holds for ANY
+            # point count (non-square driving/demo renders included) —
+            # silently falling back to one unchunked query would drop the
+            # rematerialization this config exists to guarantee.
+            n_chunks = -(-n_points // chunk)
+            pad = n_chunks * chunk - n_points
+            flat_p = (
+                jnp.pad(flat, ((0, 0), (0, pad), (0, 0))) if pad else flat
+            )
+            chunked = flat_p.reshape(B, n_chunks, chunk, 3).swapaxes(0, 1)
             if emb is not None:
-                emb_c = emb.reshape(
+                emb_p = (
+                    jnp.pad(emb, ((0, 0), (0, pad), (0, 0)))
+                    if pad else emb
+                )
+                emb_c = emb_p.reshape(
                     B, n_chunks, chunk, -1
                 ).swapaxes(0, 1)
                 out = jax.lax.map(
@@ -178,7 +190,9 @@ def render_field(
                     jax.checkpoint(lambda p: field_fn(p, requests)), chunked
                 )
             out = {
-                k: v.swapaxes(0, 1).reshape((B, n_points) + v.shape[3:])
+                k: v.swapaxes(0, 1).reshape(
+                    (B, n_chunks * chunk) + v.shape[3:]
+                )[:, :n_points]
                 for k, v in out.items()
             }
         elif emb is not None:

@@ -137,9 +137,10 @@ class TestGANSteps:
 
     def test_ema_decay_schedule(self, setup):
         gan = setup[0]
-        a0 = float(gan._ema_decay(jnp.asarray(0), 32))
-        a1 = float(gan._ema_decay(jnp.asarray(5000), 32))
-        a2 = float(gan._ema_decay(jnp.asarray(20000), 32))
+        a0 = float(gan._ema_decay(jnp.asarray(0)))
+        a1 = float(gan._ema_decay(jnp.asarray(5000)))
+        a2 = float(gan._ema_decay(jnp.asarray(20000)))
+        # Hardcoded 32 regardless of batch size (reference run.py:366).
         base = 0.5 ** (32 / 10000)
         np.testing.assert_allclose(a0, base**100, rtol=1e-6)
         np.testing.assert_allclose(a1, base**10, rtol=1e-6)
@@ -299,6 +300,59 @@ class TestDualEncoderModes:
             state1, b1, random_batch(rng, 2, with_images=True),
             b2, random_batch(rng, 2, with_images=True), jax.random.key(2))
         for k in ("loss_d_real", "loss_d_real_uncond", "loss_d_fake_uncond"):
+            assert np.isfinite(float(dm[k])), k
+
+    def test_dual_discriminator_with_class_labels(self):
+        """Dual-D + use_class (class-conditional CUB-style run, no
+        encoder): the second D's fake phase must render with the class
+        labels of the FIRST fake batch — the reference reuses the idx-0 z
+        tuple (z_random, target_class) for discriminator_idx > 0
+        (run.py:1113-1118)."""
+        import jax
+
+        from nerf_from_image_tpu.engine import gan
+        from nerf_from_image_tpu.engine.render import RenderConfig
+        from nerf_from_image_tpu.models.discriminator import Discriminator
+        from nerf_from_image_tpu.models.generator import Generator
+
+        model = Generator(
+            latent_dim=32, scene_range=0.55, attention_values=0, use_sdf=True,
+            num_classes=3, w_dim=32, plane_channels=8,
+            synthesis_resolution=16, channel_base=256, channel_max=32,
+        )
+        disc = Discriminator(resolution=16, nc=3, camera_flipped=False,
+                             conditional_pose=True, num_classes=3)
+        disc2 = Discriminator(resolution=16, nc=3, camera_flipped=False,
+                              conditional_pose=True)
+        config = gan.GANTrainConfig(
+            batch_size=2, latent_dim=32, white_background=True,
+            use_class=True, dual_discriminator=True,
+            path_length_regularization=False, tv=0, entropy=0,
+        )
+        rc = RenderConfig(resolution=16, depth_samples_per_ray=4,
+                          fine_sampling=False, scene_range=0.55,
+                          white_background=True)
+        state = gan.init_gan_state(config, model, disc, jax.random.key(0),
+                                   rc, disc2=disc2)
+
+        rng = np.random.default_rng(3)
+        def with_classes(b):
+            b["classes"] = jnp.asarray(rng.integers(0, 3, 2), jnp.int32)
+            return b
+        b1 = with_classes(random_batch(rng, 2, with_images=True))
+        b2 = with_classes(random_batch(rng, 2, with_images=True))
+        state1, gm = jax.jit(lambda s, a, b, k: gan.g_step(
+            config, rc, model, disc, s, a, k, disc2=disc2, batch2=b))(
+            state, b1, b2, jax.random.key(1))
+        assert np.isfinite(float(gm["loss_g"]))
+        state2, dm = jax.jit(lambda s, rb, fb, rb2, fb2, k: gan.d_step(
+            config, rc, model, disc, s, rb, fb, k,
+            disc2=disc2, real_batch2=rb2, fake_batch2=fb2))(
+            state1, b1, with_classes(random_batch(rng, 2, with_images=True)),
+            b2, with_classes(random_batch(rng, 2, with_images=True)),
+            jax.random.key(2))
+        for k in ("loss_d_real", "loss_d_fake", "loss_d_real_uncond",
+                  "loss_d_fake_uncond"):
             assert np.isfinite(float(dm[k])), k
 
     def test_dual_l1_mode(self):
@@ -527,6 +581,16 @@ class TestViewdirChunking:
         out_chunk, _ = render(cfg_chunk, model, variables, pose, focal, z)
         np.testing.assert_allclose(
             np.asarray(out_chunk.rgb), np.asarray(out_full.rgb),
+            rtol=1e-5, atol=1e-5,
+        )
+        # Non-divisible chunk (512 % 96 != 0): the padded-chunk path must
+        # match, not silently fall back to one unchunked query (the remat
+        # memory bound must hold for any point count — driving/demo
+        # renders are not chunk-multiples).
+        cfg_ragged = dataclasses.replace(base, query_chunk=96)
+        out_ragged, _ = render(cfg_ragged, model, variables, pose, focal, z)
+        np.testing.assert_allclose(
+            np.asarray(out_ragged.rgb), np.asarray(out_full.rgb),
             rtol=1e-5, atol=1e-5,
         )
         # And the viewdir layer actually fires: zero embedding path would
