@@ -28,15 +28,7 @@ if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
 import jax.numpy as jnp
 
 
-def save_image_grid(rows, path):
-    """rows: list of [H, W, 3] images in [-1, 1]; stacked vertically."""
-    import imageio.v2 as imageio
-
-    grid = np.concatenate([np.concatenate(r, axis=1) for r in rows], axis=0)
-    grid = np.clip((grid + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imageio.imwrite(path, grid)
-    print("Saved demo output to", path)
+from nerf_from_image_tpu.utils.images import save_image_grid  # noqa: E402
 
 
 def main():
@@ -56,7 +48,18 @@ def main():
     from nerf_from_image_tpu.pose.pose import invert_space
 
     args = arguments.parse_args()
-    config_ds = get_dataset_config(args.dataset)
+    # The reference demo overrides the driving eval config with the
+    # generator's native frame: scene_range 1.4, GREY background
+    # (demo_nusc.py:34 — unlike eval_nusc_persp's 3.0/white), so crops
+    # feed the p3d-trained encoder directly and no coordinate rescale
+    # applies.
+    import dataclasses as _dc
+
+    config_ds = _dc.replace(
+        get_dataset_config(args.dataset),
+        scene_range=1.4,
+        white_background=False,
+    )
 
     # Locate the frame + instances through the lite nuScenes reader.
     from nerf_from_image_tpu.data.nusc_lite import NuScenesLite
@@ -88,7 +91,7 @@ def main():
         mask_occ = get_mask_occ_from_ins(ins_masks, i)
         sample = crop_for_inversion(
             img_org, mask_occ, None, preds["boxes"][i], K,
-            args.resolution, white_bkgd=True,
+            args.resolution, white_bkgd=config_ds.white_background,
         )
         crops.append(sample)
     assert crops, "no cars detected in frame"
@@ -146,14 +149,14 @@ def main():
         lr_gain_z=args.inv_gain_z,
         loss=args.inv_loss,
         camera_flipped=config_ds.camera_flipped,
-        white_background=True,
+        white_background=config_ds.white_background,
     )
     render_config = RenderConfig(
         resolution=args.resolution,
         depth_samples_per_ray=64,
         fine_sampling=True,
         scene_range=config_ds.scene_range,
-        white_background=True,
+        white_background=config_ds.white_background,
         query_chunk=args.query_chunk or None,
         plane_dtype=None
         if args.plane_dtype == "float32"
@@ -175,7 +178,6 @@ def main():
         target = jnp.asarray(sample["img"])[None]
         Kc = sample["K"]
         focal = jnp.asarray([Kc[0, 0]])
-        center = jnp.asarray(Kc[None, :2, 2]) + 0.5
 
         if enc_vars is not None:
             coords, mask_pred, w_pred = encoder.apply(
@@ -219,10 +221,11 @@ def main():
         cam_f, focal_f = inv_mod.build_camera(
             pose_f, config_ds.camera_flipped
         )
+        # Full-patch render, no principal-point offset — the reference
+        # demo uses target_center=None throughout (demo_nusc.py:951).
         out, _ = render(
             render_config, model, variables, cam_f, focal_f,
-            z_f * inv_config.lr_gain_z, center=center,
-            force_no_cam_grad=True,
+            z_f * inv_config.lr_gain_z, force_no_cam_grad=True,
         )
         rows.append(
             [
@@ -236,6 +239,7 @@ def main():
         "outputs", f"demo_{args.dataset}_{stem}.png"
     )
     save_image_grid(rows, out_path)
+    print("Saved demo output to", out_path)
 
 
 if __name__ == "__main__":

@@ -453,8 +453,12 @@ def main():
         done = 0
         for step in checkpoint_steps[1:]:
             key, k = jax.random.split(key)
+            # The optimization renders through the crop's principal point
+            # like every metric render (reference eval_nusc_persp.py:1258
+            # passes target_center to the optimized model call).
             z_cur, pose_cur, _ = invert(
-                z_cur, pose_cur, target_img, k, n_steps=step - done
+                z_cur, pose_cur, target_img, k, center=target_center,
+                n_steps=step - done
             )
             done = step
             mh, out_last, out_p_last = evaluate_at(step, z_cur, pose_cur)

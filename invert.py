@@ -61,6 +61,10 @@ def main():
         args.dataset = autodetect_dataset(args.resume_from)
         print("Autodetected dataset:", args.dataset)
     overrides = get_train_overrides(args.dataset)
+    # The generator must be built with the same per-dataset presets the
+    # training driver applied (CARLA checkpoints carry the viewdir
+    # branch; supervise_alpha sizes nothing here but keeps names aligned).
+    args.use_viewdir = args.use_viewdir or overrides.use_viewdir
 
     config_ds, train_split, train_eval_split, test_split = load_dataset(
         args.dataset,
@@ -304,10 +308,11 @@ def main():
         eval_render_config, compute_normals=bool(args.use_sdf)
     )
 
-    def _demo_render(z, cam, focal):
+    def _demo_render(z, cam, focal, center=None, bbox=None):
         out, _ = render_fn(
             demo_config, model, variables, cam, focal,
-            z * inv_config.lr_gain_z, force_no_cam_grad=True,
+            z * inv_config.lr_gain_z, center=center, bbox=bbox,
+            force_no_cam_grad=True,
         )
         return out
 
@@ -330,7 +335,17 @@ def main():
                 [idx_perm, np.repeat(idx_perm[-1:], bs - len(idx_perm))]
             )
         sel = target_split.select(idx)
-        sel_perm = target_split.select(idx_perm)
+        # Novel-view (perm) split: for p3d on the test set the reference
+        # draws perm poses from the TRAINING pose distribution (test pose
+        # distribution unavailable — run.py:1895-1906); otherwise the
+        # eval split's own perm view is used.
+        perm_split = (
+            train_eval_split
+            if (test_split is not None and "p3d" in args.dataset
+                and train_eval_split is not None)
+            else target_split
+        )
+        sel_perm = perm_split.select(idx_perm)
         shard = lambda x: (
             None if x is None else mesh_mod.shard_batch(mesh, jnp.asarray(x))
         )
@@ -340,6 +355,18 @@ def main():
         perm_pose = shard(sel_perm.tform_cam2world)
         perm_focal = shard(sel_perm.focal_length)
         perm_imgs = shard(sel_perm.images)
+        # Eval-render crop info (reference run.py:1888-1951): the novel
+        # view always renders through the perm view's center/bbox; the
+        # front eval is full-patch (None) on the test set (pose-regressor
+        # protocol) and uses the cropped eval view's center/bbox on the
+        # train split outside demo mode.
+        perm_center = shard(sel_perm.center)
+        perm_bbox = shard(sel_perm.bbox)
+        if test_split is not None or demo_mode:
+            front_center = front_bbox = None
+        else:
+            front_center = shard(sel.center)
+            front_bbox = shard(sel.bbox)
 
         # Init: regressed latent + PnP pose when the bootstrap encoder is
         # loaded; average w + ground-truth-frame pose otherwise.
@@ -392,6 +419,8 @@ def main():
         metrics0 = eval_fn(
             z0, pose_params, target_img, pose_gt,
             perm_pose, perm_focal, perm_imgs,
+            center=front_center, bbox=front_bbox,
+            perm_center=perm_center, perm_bbox=perm_bbox,
         )
         report.add(0, take_real(jax.device_get(metrics0)), recovered)
 
@@ -418,6 +447,8 @@ def main():
             metrics_n = eval_fn(
                 z_f, pose_f, target_img, pose_gt,
                 perm_pose, perm_focal, perm_imgs,
+                center=front_center, bbox=front_bbox,
+                perm_center=perm_center, perm_bbox=perm_bbox,
             )
             report.add(n_steps, take_real(jax.device_get(metrics_n)),
                        take_real({
@@ -464,7 +495,12 @@ def main():
                 pose_f, config_ds.camera_flipped
             )
             out_f = demo_render(z_f, cam_f, focal_f)
-            out_n = demo_render(z_f, perm_pose, perm_focal)
+            # Novel view through the perm view's crop (reference
+            # run.py:2126-2130 renders the random view with
+            # target_center_perm/target_bbox_perm).
+            out_n = demo_render(
+                z_f, perm_pose, perm_focal, perm_center, perm_bbox
+            )
             rows = []
             for b in range(n_real):
                 panels = [np.asarray(target_img)[b, ..., :3]]

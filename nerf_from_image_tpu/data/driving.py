@@ -327,8 +327,14 @@ class KittiDrivingDataset:
         )
         T_obj = np.asarray(obj.t).reshape(3, 1) + np.linalg.inv(K) @ calib.P[:, 3:]
         obj_pose = np.concatenate([Ry, T_obj], axis=1)
-        R_c2o = Ry.T
-        t_c2o = -R_c2o @ T_obj
+        # KITTI object frame (y-down, origin on the ground) -> nuScenes
+        # convention BEFORE inverting to the camera-in-object pose: the
+        # render-frame remap downstream (NUSC2SHAPENET) assumes the
+        # nuScenes object frame (reference: eval_kitti_persp.py:957
+        # applies obj_pose_kitti2nusc to the GT world2cam).
+        obj_pose_nusc = obj_pose_kitti2nusc(obj_pose, obj.h)
+        R_c2o = obj_pose_nusc[:, :3].T
+        t_c2o = -R_c2o @ obj_pose_nusc[:, 3:]
         cam_pose = np.concatenate([R_c2o, t_c2o], axis=1)
         wlh = np.array([obj.w, obj.l, obj.h])
         corners_3d = corners_of_box(obj_pose, wlh, is_kitti=True)

@@ -53,10 +53,10 @@ def compute_query_points_from_rays(
 
     if key is not None:
         delta = (far_plane - near_plane) / num_samples
-        shape = jnp.broadcast_shapes(
-            depth_values.shape, ray_origins.shape[:-1] + (num_samples,)
-        )
-        jitter = jax.random.uniform(key, shape, dtype=dtype)
+        # rand_like(depth_values) semantics (reference nerf_utils.py:
+        # 115-117): with per-batch near/far the jitter pattern is [B,1,1,S]
+        # — shared by every pixel of an image — not drawn per pixel.
+        jitter = jax.random.uniform(key, depth_values.shape, dtype=dtype)
         depth_values = depth_values + jitter * delta
 
     query_points = (

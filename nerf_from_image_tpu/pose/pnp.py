@@ -157,8 +157,9 @@ def _gauss_newton_refine(R, t, pts, uv, w, iters: int = 20, damping=1e-6):
 def _mean_reproj_error(R, t, pts, uv, w, focal):
     """RMS reprojection error in PIXELS over valid points, matching
     cv2.solvePnPGeneric's reported error scale (pixels of the focal-scaled
-    image)."""
-    r = _reproject_residual(R, t, pts, uv, w) * focal
+    image). `focal` is a scalar or a [2] (fx, fy) vector — each residual
+    axis is scaled back by its own focal for anisotropic intrinsics."""
+    r = _reproject_residual(R, t, pts, uv, w) * jnp.asarray(focal)
     n = jnp.maximum(jnp.sum(w), 1.0)
     return jnp.sqrt(jnp.sum(jnp.square(r)) / n)
 
@@ -204,7 +205,11 @@ def compute_pose_pnp(
             return _solve_single_focal(pts_i, uv_i, w_i, f)
 
         R_all, t_all, err_all = jax.vmap(per_focal)(focals)
-        valid = t_all[:, 2] > 0
+        # isfinite guard: a focal guess whose Gauss-Newton diverged (NaN
+        # error) must not win the argmin over a converged guess — the
+        # reference's serial `e < best_err` comparison could never select
+        # a NaN candidate.
+        valid = (t_all[:, 2] > 0) & jnp.isfinite(err_all)
         err_masked = jnp.where(valid, err_all, jnp.inf)
         best = jnp.argmin(err_masked)
         any_valid = jnp.any(valid) & (jnp.sum(w_i) >= 4)
@@ -265,9 +270,14 @@ def compute_pose_pnp_known_k(
         R_raw, t = _dlt_pose(pts_i, uv_norm, w_i)
         R = polar_orthogonalize(R_raw)
         R, t = _gauss_newton_refine(R, t, pts_i, uv_norm, w_i)
-        err = _mean_reproj_error(R, t, pts_i, uv_norm, w_i, fx)
+        err = _mean_reproj_error(
+            R, t, pts_i, uv_norm, w_i, jnp.stack((fx, fy))
+        )
 
-        ok = (t[2] > 0) & (jnp.sum(w_i) >= 4)
+        # isfinite guard: a diverged Gauss-Newton (inf t -> NaN residual)
+        # must fall through to the dummy pose, matching the reference's
+        # try/except-to-dummy semantics (lib/pose_estimation.py:113-118).
+        ok = (t[2] > 0) & (jnp.sum(w_i) >= 4) & jnp.isfinite(err)
         R_dummy = jnp.eye(3, dtype=pts_i.dtype)
         t_dummy = jnp.asarray([0.0, 0.0, -10.0], pts_i.dtype)
         R_out = jnp.where(ok, R, R_dummy)
@@ -348,16 +358,41 @@ def compute_pose_pnp_opencv(coords, masks, focal_guesses):
             if len(fg) < 4:
                 break
             K = np.diag([focal, focal, 1.0])
-            try:
-                _, rvecs, tvecs, errs = cv2.solvePnPGeneric(
-                    pts, uv, K, None, flags=cv2.SOLVEPNP_SQPNP
-                )
-            except cv2.error:
+            # Reference solver chain (lib/pose_estimation.py:57-105):
+            # SQPNP, falling back to EPNP when it throws; best valid
+            # (tz > 0) solution; then SOLVEPNP_ITERATIVE refinement from
+            # that solution, kept only if it stays in front of the camera.
+            sol = None
+            for flags in (cv2.SOLVEPNP_SQPNP, cv2.SOLVEPNP_EPNP):
+                try:
+                    _, rvecs, tvecs, errs = cv2.solvePnPGeneric(
+                        pts, uv, K, None, flags=flags
+                    )
+                except cv2.error:
+                    continue
+                cands = [
+                    (float(e[0]), rv, tv)
+                    for rv, tv, e in zip(rvecs, tvecs, errs)
+                    if tv[2] > 0
+                ]
+                if cands:
+                    sol = min(cands, key=lambda c: c[0])
+                    break
+            if sol is None:
                 continue
-            for rv, tv, e in zip(rvecs, tvecs, errs):
-                if tv[2] > 0 and e[0] < best_err:
-                    best_err = float(e[0])
-                    best = (rv, tv, focal)
+            e, rv, tv = sol
+            try:
+                retval, rv_, tv_, e_ = cv2.solvePnPGeneric(
+                    pts, uv, K, None, flags=cv2.SOLVEPNP_ITERATIVE,
+                    useExtrinsicGuess=True, rvec=rv, tvec=tv,
+                )
+                if retval == 1 and tv_[0][2] > 0:
+                    rv, tv, e = rv_[0], tv_[0], float(e_[0][0])
+            except cv2.error:
+                pass
+            if e < best_err:
+                best_err = e
+                best = (rv, tv, focal)
         if best is None:
             rv, tv, focal, best_err = np.zeros(3), np.array([0, 0, -10.0]), 1.0, 10.0
         else:

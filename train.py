@@ -66,6 +66,13 @@ def main():
     args.use_viewdir = args.use_viewdir or overrides.use_viewdir
     if args.iterations == 300000:
         args.iterations = overrides.iterations
+    # cub/imagenet_elephant presets (reference data/loaders.py:92-107):
+    # StyleGAN noise enabled and, for elephants, R1 weight 10 — applied
+    # only when the user left the flag at its default.
+    if args.disable_stylegan_noise:
+        args.disable_stylegan_noise = overrides.disable_stylegan_noise
+    if args.r1 == 5.0:
+        args.r1 = overrides.r1
 
     experiment_name = arguments.suggest_experiment_name(args)
     print("Experiment:", experiment_name)
@@ -77,6 +84,7 @@ def main():
         args.data_path,
         resolution=args.resolution,
         augment_p=args.augment_p,
+        use_class=args.use_class,
         max_images=args.max_images,
     )
 

@@ -59,7 +59,8 @@ def main():
 
     config_ds, train_split, _, _ = load_dataset(
         args.dataset, args.data_path, resolution=args.resolution,
-        augment_p=0.0, max_images=args.max_images,
+        augment_p=0.0, use_class=args.use_class,
+        max_images=args.max_images,
     )
 
     generator = Generator(
