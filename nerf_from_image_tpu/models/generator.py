@@ -165,7 +165,6 @@ class ViewDirectionMapper(nn.Module):
     embedding; `apply_viewdir` combines it with sampled features.
     """
 
-    output_size: int
     num_features: int = 32
     hidden_size: int = 64
 
@@ -238,13 +237,21 @@ class TriplanarDecoder(nn.Module):
             e2 = grid_sample_2d(planes[:, 1], c_xz)
             e3 = grid_sample_2d(planes[:, 2], c_yz)
         x = (e1 + e2 + e3) / 3.0
+        in_dtype = coords.dtype
+        # bf16 production mode: keep the [N, hidden] MLP intermediates in
+        # bf16 too (params stay f32); only the [N, 1+F] head output is
+        # cast back. f32 tables keep the exact-f32 decode.
+        mlp_dtype = jnp.bfloat16 if planes.dtype == jnp.bfloat16 else None
         x = EqualizedLinear(
-            self.num_input_features, self.hidden_dim, name="net_0"
+            self.num_input_features, self.hidden_dim, name="net_0",
+            dtype=mlp_dtype,
         )(x)
         x = jax.nn.softplus(x)
         x = EqualizedLinear(
-            self.hidden_dim, 1 + self.num_output_features, name="net_2"
+            self.hidden_dim, 1 + self.num_output_features, name="net_2",
+            dtype=mlp_dtype,
         )(x)
+        x = x.astype(in_dtype)
         return x[..., :1], x[..., 1:]
 
 
@@ -270,7 +277,6 @@ class Generator(nn.Module):
     synthesis_resolution: int = 256
     channel_base: int = 32768
     channel_max: int = 512
-    use_stylegan_noise: bool = False  # disable_stylegan_noise default True
 
     @property
     def num_synthesis_ws(self) -> int:
@@ -315,9 +321,9 @@ class Generator(nn.Module):
         self.decoder = TriplanarDecoder(self.plane_channels, decoder_output_dim)
 
         if self.use_viewdir:
-            self.viewdir_mapper = ViewDirectionMapper(
-                self.attention_values if self.attention_values > 0 else 3, 32
-            )
+            self.viewdir_mapper = ViewDirectionMapper(num_features=32)
+            # The output width (attention palette size, or 3 for raw RGB)
+            # lives on the zero-init projection alone.
             self.viewdir_output = ViewDirOutput(
                 32, self.attention_values if self.attention_values > 0 else 3
             )
@@ -466,15 +472,21 @@ class Generator(nn.Module):
         if "normals" in outputs:
             assert self.use_sdf
 
-            def distance_sum(pts):
-                d, _ = self.decoder(planes, pts / self.scene_range)
-                return jnp.sum(d[..., -1])
+            # One linearized decode serves both the primal field values
+            # and the SDF gradient (normals = normalized d distance/d
+            # points) — running the decoder again would double the hot
+            # triplane-gather cost of every normals render.
+            def decode(pts):
+                return self.decoder(planes, pts / self.scene_range)
 
-            grad = jax.grad(distance_sum)(points)
+            (density_or_distance, features), vjp_fn = jax.vjp(decode, points)
+            d_cot = jnp.zeros_like(density_or_distance)
+            d_cot = d_cot.at[..., -1].set(1.0)
+            (grad,) = vjp_fn((d_cot, jnp.zeros_like(features)))
             norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
             res["normals"] = grad / jnp.maximum(norm, 1e-12)
-
-        density_or_distance, features = self.decoder(planes, coords)
+        else:
+            density_or_distance, features = self.decoder(planes, coords)
 
         if "sdf_distance" in outputs:
             res["sdf_distance"] = density_or_distance

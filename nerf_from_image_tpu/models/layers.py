@@ -19,7 +19,7 @@ EqualizedConv2d). TPU-first choices:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,11 @@ class EqualizedLinear(nn.Module):
     activate: bool = False
     lr_multiplier: float = 1.0
     init_bias_one: bool = False
+    # Compute dtype for the matmul/bias (params stay f32); None keeps
+    # the input's promotion semantics. bf16 here halves the activation
+    # bandwidth of the [N, hidden] decoder intermediates in
+    # plane_dtype='bfloat16' production mode.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -50,11 +55,18 @@ class EqualizedLinear(nn.Module):
             (self.out_features, self.in_features),
         )
         weight_gain = self.lr_multiplier / math.sqrt(self.in_features)
-        y = x @ (weight * weight_gain).T
+        scaled = weight * weight_gain
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            scaled = scaled.astype(self.dtype)
+        y = x @ scaled.T
         if self.use_bias:
             init = nn.initializers.ones if self.init_bias_one else nn.initializers.zeros
             bias = self.param("bias", init, (self.out_features,))
-            y = y + bias * self.lr_multiplier
+            bias = bias * self.lr_multiplier
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
+            y = y + bias
         if self.activate:
             y = leaky_relu(y * math.sqrt(2.0))
         return y
