@@ -238,6 +238,34 @@ class TestSampling:
         assert (depths >= 1.0).all() and (depths <= 3.0 + 2.0 / 16).all()
         assert (np.diff(depths, axis=-1) > -2.0 / 16).all()
 
+    def test_per_batch_near_far_shares_jitter_across_pixels(self):
+        """rand_like(depth_values) semantics (reference nerf_utils.py:
+        110-117): per-batch near/far expand to [B,1,1,S], so one jitter
+        pattern is shared by every pixel of an image."""
+        from nerf_from_image_tpu.ops import sampling
+
+        rng = np.random.default_rng(7)
+        o = _rand(rng, 2, 3, 5, 3)
+        d = _rand(rng, 2, 3, 5, 3)
+        near = np.asarray([1.0, 1.5], np.float32)
+        far = np.asarray([3.0, 2.5], np.float32)
+        pts, depths = sampling.compute_query_points_from_rays(
+            jnp.asarray(o),
+            jnp.asarray(d),
+            jnp.asarray(near),
+            jnp.asarray(far),
+            8,
+            key=jax.random.key(1),
+        )
+        depths = np.asarray(depths)
+        # Depth values keep the reference's [B,1,1,S] broadcast shape —
+        # one jittered pattern per image, NOT drawn per pixel.
+        assert depths.shape == (2, 1, 1, 8)
+        assert np.asarray(pts).shape == (2, 3, 5, 8, 3)
+        # Jitter actually applied (not the deterministic left edges).
+        det = near[:, None] + (far - near)[:, None] * np.arange(8) / 8
+        assert np.abs(depths[:, 0, 0, :] - det).max() > 0
+
 
 class TestCompositing:
     def test_forward_matches(self, ref_nerf_utils):
