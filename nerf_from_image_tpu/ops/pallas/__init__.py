@@ -39,6 +39,29 @@ channel-tiling reads the same full tiles. Batch scaling was also measured
 (scripts/bench_batch_sweep.py): B=6/8 unchunked OOM, and the chunked-remat
 fallback at B>=8 drops to ~52 krays/s — B=4 unchunked is the optimum.
 
+Round-2 scatter re-derivations (all measured on the v5e, 4.2M update
+rows -> bf16[262144, 128]):
+* XLA scatter-add cost is FLAT at ~73 ms regardless of index
+  distribution — random 74.2, pre-sorted 71.9, ALL-ZERO 73.4, half
+  redirected to one dummy row 71.5, pairwise-duplicated 71.5. It is a
+  pure per-row descriptor wall (~57 Mrows/s), not tile-RMW bandwidth:
+  dedup/compaction tricks that leave the row count unchanged (dummy-row
+  redirection) buy exactly nothing; only FEWER rows would help, and the
+  row count is fixed by the sampling config.
+* Sort + segment-matmul Pallas scatter (bin updates by sorted table row,
+  accumulate each tile with an MXU one-hot matmul): sort_key_val of
+  8.4M i32 keys is fine (23.6 ms) but the permutation gather of the
+  [8.4M, 128] bf16 update rows costs 92 ms — together they match the
+  plain scatter per plane-pair before the kernel even runs. Dead unless
+  the updates can be PRODUCED in sorted order, which they can't (the 3
+  planes need mutually incompatible orders).
+
+What did work in round 2 (both pure layout/dtype, no kernels): doing the
+corner-FMA reduction in bf16 when the tables are bf16 — XLA otherwise
+materializes (and stores as residuals) f32[N,128] converts of the
+gathered rows, ~3x the bytes of the FMA output — and keeping the tiny
+decoder-MLP intermediates bf16. 89.7k -> 106.8k rays/s fwd+bwd.
+
 Decoder reformulations were also measured and rejected
 (scripts/profile_decoder.py): at query-chunk granularity the per-plane
 corner FMA, a single 12-term fused FMA, and a corner-scaled [N, 384]
