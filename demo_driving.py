@@ -239,7 +239,6 @@ def main():
         "outputs", f"demo_{args.dataset}_{stem}.png"
     )
     save_image_grid(rows, out_path)
-    print("Saved demo output to", out_path)
 
 
 if __name__ == "__main__":

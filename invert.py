@@ -349,24 +349,41 @@ def main():
         shard = lambda x: (
             None if x is None else mesh_mod.shard_batch(mesh, jnp.asarray(x))
         )
-        target_img = shard(sel.images)
+        # Optimization target (reference run.py:1920-1944): on the train
+        # split outside demo mode the reference optimizes against the
+        # UNCROPPED train image (full-patch render), while metrics
+        # compare the cropped train-eval view rendered through its
+        # center/bbox — the same fitted pose satisfies both because the
+        # bbox remap renders exactly that crop of the full view. Demo
+        # mode and the test set optimize against the (cropped) eval
+        # image directly with full-patch eval renders.
+        if test_split is None and not demo_mode:
+            target_img = shard(train_split.select(idx).images)
+            front_center = shard(sel.center)
+            front_bbox = shard(sel.bbox)
+        else:
+            target_img = shard(sel.images)
+            front_center = front_bbox = None
+        target_img_fid = shard(sel.images)
         pose_gt = shard(sel.tform_cam2world)
         focal_gt = shard(sel.focal_length)
         perm_pose = shard(sel_perm.tform_cam2world)
         perm_focal = shard(sel_perm.focal_length)
-        perm_imgs = shard(sel_perm.images)
-        # Eval-render crop info (reference run.py:1888-1951): the novel
-        # view always renders through the perm view's center/bbox; the
-        # front eval is full-patch (None) on the test set (pose-regressor
-        # protocol) and uses the cropped eval view's center/bbox on the
-        # train split outside demo mode.
+        # Novel-view recon metrics exist only when the dataset has
+        # multiple registered views per object (reference run.py:2160);
+        # with views == 1 the perm render feeds FID activations only.
+        views_per_object = (
+            config_ds.views_per_object_test
+            if test_split is not None
+            else config_ds.views_per_object
+        )
+        perm_imgs = (
+            shard(sel_perm.images)
+            if (views_per_object or 1) > 1
+            else None
+        )
         perm_center = shard(sel_perm.center)
         perm_bbox = shard(sel_perm.bbox)
-        if test_split is not None or demo_mode:
-            front_center = front_bbox = None
-        else:
-            front_center = shard(sel.center)
-            front_bbox = shard(sel.bbox)
 
         # Init: regressed latent + PnP pose when the bootstrap encoder is
         # loaded; average w + ground-truth-frame pose otherwise.
@@ -417,7 +434,7 @@ def main():
             "t2": np.asarray(pose_params.t2),
         })
         metrics0 = eval_fn(
-            z0, pose_params, target_img, pose_gt,
+            z0, pose_params, target_img_fid, pose_gt,
             perm_pose, perm_focal, perm_imgs,
             center=front_center, bbox=front_bbox,
             perm_center=perm_center, perm_bbox=perm_bbox,
@@ -428,7 +445,7 @@ def main():
         if first_batch:
             # First-batch image grids at checkpoint step 0 (reference:
             # run.py:2104-2110).
-            writer.images("img/ref", np.asarray(target_img[..., :3]), 0)
+            writer.images("img/ref", np.asarray(target_img_fid[..., :3]), 0)
             cam0, focal0 = inv_mod.build_camera(
                 pose_params, config_ds.camera_flipped
             )
@@ -445,7 +462,7 @@ def main():
                 z0, pose_params, target_img, k, n_steps=n_steps
             )
             metrics_n = eval_fn(
-                z_f, pose_f, target_img, pose_gt,
+                z_f, pose_f, target_img_fid, pose_gt,
                 perm_pose, perm_focal, perm_imgs,
                 center=front_center, bbox=front_bbox,
                 perm_center=perm_center, perm_bbox=perm_bbox,
