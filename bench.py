@@ -62,8 +62,18 @@ def main():
         white_background=False,
         plane_dtype="bfloat16",
         query_chunk=None,
+        # plane_splat=True enables the round-3 Pallas windowed-splat
+        # backward (ops/pallas/splat.py; 3.4x the XLA scatter it replaces,
+        # measured standalone at bench shapes in scripts/bench_splat.py).
+        # Disabled pending an axon-platform workaround: a pallas VMEM-block
+        # output >= ~1MB embedded in a large XLA program crashes the TPU
+        # worker on this tunnel (bisected in scripts/bench_splat.py notes;
+        # HBM-space outputs via explicit DMA are the fix in progress).
+        plane_splat=False,
     )
-    fallback_config = dataclasses.replace(config, query_chunk=131072)
+    fallback_config = dataclasses.replace(
+        config, query_chunk=131072, plane_splat=False
+    )
     variables = jax.jit(lambda k: model.init(k, method="init_all"))(
         jax.random.key(0)
     )

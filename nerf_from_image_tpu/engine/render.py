@@ -61,6 +61,15 @@ class RenderConfig:
     # multi-chip meshes; params/planes stay replicated and XLA all-gathers
     # the composited maps.
     shard_rays: bool = False
+    # Fused-splat backward for the triplane sampling (the dominant
+    # backward cost): packed-gather forward + ray-coherent Pallas windowed
+    # splat instead of XLA scatter-add (ops/pallas/splat.py). First-order
+    # only — leave False for renders that are double-differentiated
+    # (GAN path-length regularization). Applies when the query is
+    # unchunked and the ray grid divides splat_block.
+    plane_splat: bool = False
+    splat_block: Tuple[int, int, int] = (16, 16, 4)
+    splat_window: Tuple[int, int] = (128, 64)
     # How the coarse and fine passes are combined:
     #   'pairwise' — sort-free dual-list compositing (all-pairs masked
     #     reductions; no argsort, no 2S-permutation gather, no backward
@@ -159,6 +168,24 @@ def render_field(
                 viewdir_embedding[:, :, None, :],
                 (B, H * W, s_pass, viewdir_embedding.shape[-1]),
             ).reshape(B, n_points, -1)
+        splat_spec = None
+        th, tw, ts = config.splat_block
+        s_pass = n_points // (H * W)
+        if (
+            config.plane_splat
+            and config.query_chunk is None
+            and H % th == 0
+            and W % tw == 0
+            and s_pass % ts == 0
+            and n_points == H * W * s_pass
+        ):
+            splat_spec = (
+                (H, W, s_pass),
+                config.plane_dtype,
+                config.splat_block,
+                config.splat_window[0],
+                config.splat_window[1],
+            )
         chunk = config.query_chunk
         if chunk and n_points > chunk:
             # Pad to a chunk multiple so the memory bound holds for ANY
@@ -196,9 +223,9 @@ def render_field(
                 for k, v in out.items()
             }
         elif emb is not None:
-            out = field_fn(flat, requests, emb)
+            out = field_fn(flat, requests, emb, splat_spec=splat_spec)
         else:
-            out = field_fn(flat, requests)
+            out = field_fn(flat, requests, splat_spec=splat_spec)
         per_sample = {}
         n_samples = points.shape[-2]
         for k, v in out.items():
@@ -323,7 +350,7 @@ def make_field_fn(model, variables, planes, attention_values=None):
     optional view-direction embedding PER POINT ([B, N, F']) so the caller
     can chunk it together with the points."""
 
-    def field_fn(points, outputs, viewdir_embedding=None):
+    def field_fn(points, outputs, viewdir_embedding=None, splat_spec=None):
         return model.apply(
             variables,
             planes,
@@ -331,6 +358,7 @@ def make_field_fn(model, variables, planes, attention_values=None):
             attention_values=attention_values,
             viewdir_embedding=viewdir_embedding,
             outputs=outputs,
+            splat_spec=splat_spec,
             method="sample_field",
         )
 
@@ -383,7 +411,12 @@ def render(
     planes = model.apply(
         variables, ws, noise_mode, key_noise, method="synthesize"
     )
-    if config.pack_planes:
+    if config.plane_splat and config.query_chunk is None:
+        # The fused-splat op casts and corner-packs per field query (cheap
+        # relative to the gathers); the decoder needs the RAW planes so the
+        # backward can produce unpacked plane gradients directly.
+        field_planes = planes
+    elif config.pack_planes:
         from nerf_from_image_tpu.ops.triplane import pack_corners
 
         field_planes = planes

@@ -223,25 +223,48 @@ class TriplanarDecoder(nn.Module):
     hidden_dim: int = 64
 
     @nn.compact
-    def __call__(self, planes, coords):
+    def __call__(self, planes, coords, splat_spec=None):
         # coords: [B, N, 3] normalized to [-1, 1]. planes either raw
         # [B, 3, H, W, C] or corner-packed [B, 3, H, W, 4C]
         # (ops/triplane.pack_corners — one gather per plane per point).
-        c_xy, c_xz, c_yz = plane_coords(coords)
-        if planes.shape[-1] == 4 * self.num_input_features:
-            e1 = sample_packed(planes[:, 0], c_xy)
-            e2 = sample_packed(planes[:, 1], c_xz)
-            e3 = sample_packed(planes[:, 2], c_yz)
+        splat_dtype = None
+        if (
+            splat_spec is not None
+            and planes.shape[-1] == self.num_input_features
+        ):
+            # Fused-splat path: packed-gather forward + Pallas windowed
+            # splat backward (ops/pallas/splat.triplane_sample_mean).
+            # First-order only — regularizer (double-backward) queries go
+            # through the grid_sample branch below.
+            from nerf_from_image_tpu.ops.pallas.splat import (
+                triplane_sample_mean,
+            )
+
+            img_shape, table_dtype, block_shape, WY, WX = splat_spec
+            x = triplane_sample_mean(
+                planes, coords, img_shape, table_dtype, block_shape, WY, WX
+            )
+            splat_dtype = (
+                jnp.bfloat16 if table_dtype == "bfloat16" else None
+            )
         else:
-            e1 = grid_sample_2d(planes[:, 0], c_xy)
-            e2 = grid_sample_2d(planes[:, 1], c_xz)
-            e3 = grid_sample_2d(planes[:, 2], c_yz)
-        x = (e1 + e2 + e3) / 3.0
+            c_xy, c_xz, c_yz = plane_coords(coords)
+            if planes.shape[-1] == 4 * self.num_input_features:
+                e1 = sample_packed(planes[:, 0], c_xy)
+                e2 = sample_packed(planes[:, 1], c_xz)
+                e3 = sample_packed(planes[:, 2], c_yz)
+            else:
+                e1 = grid_sample_2d(planes[:, 0], c_xy)
+                e2 = grid_sample_2d(planes[:, 1], c_xz)
+                e3 = grid_sample_2d(planes[:, 2], c_yz)
+            x = (e1 + e2 + e3) / 3.0
         in_dtype = coords.dtype
         # bf16 production mode: keep the [N, hidden] MLP intermediates in
         # bf16 too (params stay f32); only the [N, 1+F] head output is
         # cast back. f32 tables keep the exact-f32 decode.
-        mlp_dtype = jnp.bfloat16 if planes.dtype == jnp.bfloat16 else None
+        mlp_dtype = (
+            jnp.bfloat16 if planes.dtype == jnp.bfloat16 else splat_dtype
+        )
         x = EqualizedLinear(
             self.num_input_features, self.hidden_dim, name="net_0",
             dtype=mlp_dtype,
@@ -391,9 +414,9 @@ class Generator(nn.Module):
 
     # ---- field queries ---------------------------------------------------
 
-    def decode(self, planes, coords):
+    def decode(self, planes, coords, splat_spec=None):
         """Raw triplane decode at normalized coords [B, N, 3]."""
-        return self.decoder(planes, coords)
+        return self.decoder(planes, coords, splat_spec)
 
     def density_from_distance(self, density_or_distance, out_of_box_mask):
         """SDF (or raw) decoder output -> volume density sigma [B, N]."""
@@ -445,6 +468,7 @@ class Generator(nn.Module):
         viewdir_embedding=None,
         outputs: Sequence[str] = ("sigma", "rgb"),
         bbox_overlay: bool = False,
+        splat_spec=None,
     ) -> Dict[str, jnp.ndarray]:
         """Queries the radiance field at world-space points.
 
@@ -477,7 +501,9 @@ class Generator(nn.Module):
             # points) — running the decoder again would double the hot
             # triplane-gather cost of every normals render.
             def decode(pts):
-                return self.decoder(planes, pts / self.scene_range)
+                return self.decoder(
+                    planes, pts / self.scene_range, splat_spec
+                )
 
             (density_or_distance, features), vjp_fn = jax.vjp(decode, points)
             d_cot = jnp.zeros_like(density_or_distance)
@@ -486,7 +512,9 @@ class Generator(nn.Module):
             norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
             res["normals"] = grad / jnp.maximum(norm, 1e-12)
         else:
-            density_or_distance, features = self.decoder(planes, coords)
+            density_or_distance, features = self.decoder(
+                planes, coords, splat_spec
+            )
 
         if "sdf_distance" in outputs:
             res["sdf_distance"] = density_or_distance

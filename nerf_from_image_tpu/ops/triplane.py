@@ -35,6 +35,16 @@ def pack_corners(plane: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate((plane, right, down, down_right), axis=-1)
 
 
+def sample_packed_with_rows(packed: jnp.ndarray, coords: jnp.ndarray):
+    """sample_packed, also returning the gathered corner rows.
+
+    The rows ([B*N, 4C], table dtype) are the residuals the fused-splat
+    backward needs to form coordinate gradients without re-gathering
+    (ops/pallas/splat.triplane_sample_mean).
+    """
+    return _sample_packed_impl(packed, coords)
+
+
 def sample_packed(packed: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinearly samples a corner-packed table.
 
@@ -54,6 +64,10 @@ def sample_packed(packed: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     Returns:
       [B, N, C] in coords' dtype.
     """
+    return _sample_packed_impl(packed, coords)[0]
+
+
+def _sample_packed_impl(packed: jnp.ndarray, coords: jnp.ndarray):
     B, H, W, C4 = packed.shape
     C = C4 // 4
     ix = jnp.clip((coords[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
@@ -90,7 +104,7 @@ def sample_packed(packed: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         + rows[:, 2 * C : 3 * C] * w10
         + rows[:, 3 * C :] * w11
     )
-    return out.astype(coords.dtype).reshape(B, -1, C)
+    return out.astype(coords.dtype).reshape(B, -1, C), rows
 
 
 def plane_coords(coords3: jnp.ndarray):

@@ -1,0 +1,158 @@
+"""Golden tests for the fused-splat triplane backward (ops/pallas/splat).
+
+Runs the Pallas kernel in interpret mode on the CPU mesh; the values and
+gradients are compared against the pure-autodiff packed-gather path —
+the same contract the on-device golden run checks (scripts/bench_splat.py
+exercises the compiled kernel on real TPU hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_from_image_tpu.ops.pallas import splat
+from nerf_from_image_tpu.ops.triplane import (
+    pack_corners,
+    plane_coords,
+    sample_packed,
+)
+
+B, RES, S = 2, 16, 8
+HP, C = 64, 32
+N = RES * RES * S
+
+
+def _coords3(key, scale=1.05):
+    # Ray-coherent-ish smooth points plus exact boundary hits: a linear
+    # ramp per ray tile with a few points clamped outside the box.
+    k1, k2 = jax.random.split(key)
+    base = jax.random.uniform(k1, (B, RES, RES, 1, 3), minval=-0.9,
+                              maxval=0.9)
+    step = jax.random.uniform(k2, (B, RES, RES, 1, 3), minval=-0.02,
+                              maxval=0.02)
+    s = jnp.arange(S, dtype=jnp.float32).reshape(1, 1, 1, S, 1)
+    pts = (base + step * s) * scale
+    # exact +-1 boundary points (the near-plane-on-AABB-face case)
+    pts = pts.at[:, 0, 0, :, 0].set(1.0).at[:, 0, 1, :, 1].set(-1.0)
+    return pts.reshape(B, N, 3)
+
+
+def _auto(planes, coords3, gw, dt):
+    tp = planes.astype(dt) if dt else planes
+    packed = pack_corners(tp)
+    cs = plane_coords(coords3)
+    e = sum(sample_packed(packed[:, k], cs[k]) for k in range(3)) / 3.0
+    return jnp.sum(e * gw)
+
+
+def _op(planes, coords3, gw, dt):
+    e = splat.triplane_sample_mean(
+        planes, coords3, (RES, RES, S), dt, (8, 8, 4), 16, 16
+    )
+    return jnp.sum(e * gw)
+
+
+@pytest.mark.parametrize("dt,tolp,tolc", [
+    (None, 5e-5, 5e-5),
+    ("bfloat16", 2e-2, 2e-2),
+])
+def test_triplane_sample_mean_matches_autodiff(dt, tolp, tolc):
+    coords3 = _coords3(jax.random.key(0))
+    planes = jax.random.normal(jax.random.key(1), (B, 3, HP, HP, C))
+    gw = jax.random.normal(jax.random.key(2), (B, N, C))
+
+    va, (gpa, gca) = jax.jit(
+        jax.value_and_grad(_auto, argnums=(0, 1)), static_argnums=3
+    )(planes, coords3, gw, dt)
+    vo, (gpo, gco) = jax.jit(
+        jax.value_and_grad(_op, argnums=(0, 1)), static_argnums=3
+    )(planes, coords3, gw, dt)
+
+    assert np.isfinite(float(vo))
+    np.testing.assert_allclose(float(vo), float(va), rtol=1e-5)
+    ep = float(jnp.max(jnp.abs(gpa - gpo)) / jnp.max(jnp.abs(gpa)))
+    ec = float(jnp.max(jnp.abs(gca - gco)) / jnp.max(jnp.abs(gca)))
+    assert ep < tolp, f"plane grad mismatch {ep}"
+    assert ec < tolc, f"coord grad mismatch {ec}"
+
+
+def test_misfit_blocks_route_through_residual_scatter():
+    # Scatter a few blocks' coords across the whole plane so their
+    # footprint overflows the window; values must still be exact.
+    coords3 = _coords3(jax.random.key(3))
+    wild = jax.random.uniform(
+        jax.random.key(4), (B, 8 * 8 * 4, 3), minval=-1.0, maxval=1.0
+    )
+    coords3 = coords3.at[:, : 8 * 8 * 4].set(wild)
+    planes = jax.random.normal(jax.random.key(5), (B, 3, HP, HP, C))
+    gw = jax.random.normal(jax.random.key(6), (B, N, C))
+    ga = jax.jit(jax.grad(_auto, argnums=0), static_argnums=3)(
+        planes, coords3, gw, None
+    )
+    go = jax.jit(jax.grad(_op, argnums=0), static_argnums=3)(
+        planes, coords3, gw, None
+    )
+    ep = float(jnp.max(jnp.abs(ga - go)) / jnp.max(jnp.abs(ga)))
+    assert ep < 5e-5, ep
+
+
+def test_full_fallback_when_budget_exceeded():
+    # Fully random coords: most blocks overflow -> lax.cond slow branch.
+    coords3 = jax.random.uniform(
+        jax.random.key(7), (B, N, 3), minval=-1.0, maxval=1.0
+    )
+    planes = jax.random.normal(jax.random.key(8), (B, 3, HP, HP, C))
+    gw = jax.random.normal(jax.random.key(9), (B, N, C))
+    ga = jax.jit(jax.grad(_auto, argnums=0), static_argnums=3)(
+        planes, coords3, gw, None
+    )
+    go = jax.jit(jax.grad(_op, argnums=0), static_argnums=3)(
+        planes, coords3, gw, None
+    )
+    ep = float(jnp.max(jnp.abs(ga - go)) / jnp.max(jnp.abs(ga)))
+    assert ep < 5e-5, ep
+
+
+def test_render_with_plane_splat_matches_default_path():
+    from nerf_from_image_tpu.engine.render import RenderConfig, render
+    from nerf_from_image_tpu.models.generator import Generator
+    import dataclasses
+
+    model = Generator(
+        latent_dim=64,
+        scene_range=1.4,
+        attention_values=4,
+        use_sdf=True,
+        w_dim=64,
+        plane_channels=32,
+        synthesis_resolution=64,
+        channel_base=2048,
+        channel_max=64,
+    )
+    variables = model.init(jax.random.key(0), method="init_all")
+    cfg = RenderConfig(
+        resolution=16,
+        depth_samples_per_ray=8,
+        fine_sampling=True,
+        scene_range=1.4,
+        query_chunk=None,
+        plane_splat=True,
+        splat_block=(8, 8, 4),
+        splat_window=(16, 16),
+    )
+    cfg_ref = dataclasses.replace(cfg, plane_splat=False)
+    pose = jnp.eye(4)[None].at[:, 2, 3].set(2.5)
+    focal = jnp.full((1,), 1.2)
+    ws = jax.random.normal(jax.random.key(1), (1, model.num_ws, 64)) * 0.1
+
+    def loss(ws, pose, cfg):
+        out, _ = render(cfg, model, variables, pose, focal, ws)
+        return jnp.sum(jnp.square(out.rgb)) + jnp.sum(jnp.square(out.mask))
+
+    la, ga = jax.value_and_grad(loss, argnums=(0, 1))(ws, pose, cfg)
+    lb, gb = jax.value_and_grad(loss, argnums=(0, 1))(ws, pose, cfg_ref)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        denom = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-3
