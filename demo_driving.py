@@ -3,7 +3,9 @@
 Analog of the reference demo (reference: demo_nusc.py:666-700): given a
 named camera frame, load its Mask-RCNN instances, crop each detected car,
 run encoder + PnP + N-step inversion per object, and save a side-by-side
-composite (input | NOCS coords | reconstruction | novel view) to outputs/.
+composite (input | NOCS coords | reconstruction | depth | normals |
+novel view — the reference's panel set, demo_nusc.py:518-540 plus the
+random-rotation novel view of eval_kitti_persp.py:631-668) to outputs/.
 
 Usage:
   python demo_driving.py --dataset nusc --inv_manual_input_path <image name>\
@@ -28,7 +30,11 @@ if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
 import jax.numpy as jnp
 
 
-from nerf_from_image_tpu.utils.images import save_image_grid  # noqa: E402
+from nerf_from_image_tpu.utils.images import (  # noqa: E402
+    depth_panel,
+    normals_panel,
+    save_image_grid,
+)
 
 
 def main():
@@ -163,6 +169,11 @@ def main():
         else args.plane_dtype,
         merge_mode=args.merge_mode,
     )
+    # Demo panels render with SDF normals like the reference
+    # (demo_nusc.py:502 compute_normals=args.use_sdf).
+    demo_render_config = _dc.replace(
+        render_config, compute_normals=args.use_sdf
+    )
     invert = jax.jit(
         inv_mod.make_invert_fn(
             inv_config, render_config, model, variables, lpips_model,
@@ -174,6 +185,7 @@ def main():
                         method="average_w")
 
     rows = []
+    np_rng = np.random.default_rng(543)
     for i, sample in enumerate(crops):
         target = jnp.asarray(sample["img"])[None]
         Kc = sample["K"]
@@ -224,14 +236,42 @@ def main():
         # Full-patch render, no principal-point offset — the reference
         # demo uses target_center=None throughout (demo_nusc.py:951).
         out, _ = render(
-            render_config, model, variables, cam_f, focal_f,
+            demo_render_config, model, variables, cam_f, focal_f,
             z_f * inv_config.lr_gain_z, force_no_cam_grad=True,
+        )
+        # Novel view: the recovered camera perturbed by a random rotation
+        # (reference: eval_kitti_persp.py:631-645; demo appends the
+        # novel-view recon panel, demo_nusc.py:528-534).
+        from scipy.spatial.transform import Rotation as _R
+
+        angle_lim = np.pi * 0.2
+        rotvec = np_rng.uniform(-angle_lim, angle_lim, size=3)
+        w2c_p = np.array(invert_space(cam_f))
+        w2c_p[0, :3, :3] = w2c_p[0, :3, :3] @ _R.from_rotvec(
+            rotvec
+        ).as_matrix().astype(np.float32)
+        cam_p = invert_space(jnp.asarray(w2c_p))
+        out_p, _ = render(
+            demo_render_config, model, variables, cam_p, focal_f,
+            z_f * inv_config.lr_gain_z, force_no_cam_grad=True,
+        )
+        mask0 = np.asarray(out.mask)[0]
+        depth_vis = depth_panel(
+            np.asarray(out.depth)[0], mask0, config_ds.white_background
+        )
+        normals_vis = (
+            normals_panel(np.asarray(out.normals)[0], mask0)
+            if out.normals is not None
+            else np.zeros_like(depth_vis)
         )
         rows.append(
             [
                 np.asarray(target)[0, ..., :3],
                 coords_vis,
                 np.asarray(jnp.clip(out.rgb[0, ..., :3], -1, 1)),
+                depth_vis,
+                normals_vis,
+                np.asarray(jnp.clip(out_p.rgb[0, ..., :3], -1, 1)),
             ]
         )
 

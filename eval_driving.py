@@ -10,6 +10,18 @@ renderer, and report masked PSNR / SSIM / LPIPS / LiDAR z-buffer depth
 error / rotation / translation errors at checkpoints {0, 20, 50}, plus
 cross-view metrics from another annotation of the same instance.
 
+Novel-view columns: on nuScenes the `*_random` metrics come from a real
+second annotation of the same instance (reference:
+eval_nusc_persp.py:662-760). KITTI/Waymo have no second view; the
+reference declares the `*_random` report keys but never fills them
+(eval_kitti_persp.py:919-929 — the random-rotation render is demo-only).
+Here the report schema is uniform across all three datasets: KITTI/Waymo
+render the same random-rotation novel view the reference composites
+(eval_kitti_persp.py:631-660) and fill `depth_error_random` by
+reprojecting the view's LiDAR depth into the perturbed camera (a real
+novel-view shape metric); `psnr/ssim/lpips_random` are emitted as NaN
+columns — no GT image exists at a synthetic viewpoint.
+
 Usage:
   python eval_driving.py --dataset nusc --resume_from <gan_checkpoint> \
       --coord_resume_from <encoder_checkpoint> --nusc_data_dir ...
@@ -156,6 +168,49 @@ def export_driving_demo(args, config_ds, obj_idx, it, sample, coords,
     )
 
 
+def reproject_depth(depth: np.ndarray, K: np.ndarray,
+                    M: np.ndarray) -> np.ndarray:
+    """Reprojects a sparse z-buffer depth map into a perturbed camera.
+
+    depth: [S, S] z-buffer depths (>0 valid) at the original crop view.
+    K: normalized crop intrinsics — f = K[0,0], principal point K[:2,2]
+      relative to the crop center (data/driving.py crop_for_inversion).
+    M: [4, 4] original-camera -> perturbed-camera transform in the RENDER
+      camera frame (w2c_perm @ c2w_orig; camera looks down -z, X right,
+      Y up — ops/rays.py get_ray_bundle).
+
+    Returns the [S, S] sparse z-buffer depth at the perturbed view (0
+    where no LiDAR point lands); nearer points win contended pixels.
+    """
+    S = depth.shape[0]
+    r, c = np.nonzero(depth > 0)
+    out = np.zeros_like(depth)
+    if r.size == 0:
+        return out
+    d = depth[r, c].astype(np.float64)
+    f = float(K[0, 0])
+    cx = float(K[0, 2]) + 0.5
+    cy = float(K[1, 2]) + 0.5
+    # Inverse of the ray-grid projection ii = col/S - cx = f*X/(-Z),
+    # jj = row/S - cy = f*(-Y)/(-Z), zbuffer = -Z.
+    X = (c / S - cx) / f * d
+    Y = -((r / S - cy) / f) * d
+    Z = -d
+    q = M @ np.stack([X, Y, Z, np.ones_like(d)], axis=0)
+    zb = -q[2]
+    keep = zb > 1e-6
+    col = np.floor((f * q[0] / np.maximum(zb, 1e-6) + cx) * S).astype(
+        np.int64
+    )
+    row = np.floor(
+        (f * (-q[1]) / np.maximum(zb, 1e-6) + cy) * S
+    ).astype(np.int64)
+    keep &= (col >= 0) & (col < S) & (row >= 0) & (row < S)
+    order = np.argsort(-zb[keep])
+    out[row[keep][order], col[keep][order]] = zb[keep][order]
+    return out
+
+
 def main():
     from nerf_from_image_tpu import arguments
     from nerf_from_image_tpu.data.configs import get_dataset_config
@@ -173,7 +228,10 @@ def main():
     )
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
+    from nerf_from_image_tpu.parallel import mesh as mesh_mod
+
     args = arguments.parse_args()
+    mesh_mod.maybe_init_multihost(args)
     assert args.dataset in ("nusc", "kitti", "waymo")
     config_ds = get_dataset_config(args.dataset)
     dataset = build_dataset(args)
@@ -274,7 +332,23 @@ def main():
     z_avg = model.apply(variables, jax.random.key(3), 10000,
                         method="average_w")
 
-    report = eval_mod.InversionReport(checkpoint_steps)
+    from nerf_from_image_tpu.models.lpips import lpips_metric_grade
+
+    metric_notes = (
+        {}
+        if lpips_metric_grade()
+        else {"lpips": "(RANDOM-FEATURE — not metric grade)"}
+    )
+    if args.dataset != "nusc":
+        nv_note = (
+            "(NaN by design: no cross-view GT image on kitti/waymo; "
+            "reference leaves these columns empty)"
+        )
+        metric_notes.update(
+            {"psnr_random": nv_note, "ssim_random": nv_note,
+             "lpips_random": nv_note}
+        )
+    report = eval_mod.InversionReport(checkpoint_steps, metric_notes)
     rng = random.Random(543)
     n_objects = min(len(dataset), args.max_num_samples or len(dataset))
     t0 = time.time()
@@ -391,6 +465,18 @@ def main():
                         )
                         break
 
+        rand_rot = None
+        if args.dataset in ("kitti", "waymo"):
+            # One random rotation per object, reused at every checkpoint
+            # step so the novel-view depth column is comparable across
+            # steps (the reference redraws one per call but only
+            # composites it: eval_kitti_persp.py:631-645).
+            from scipy.spatial.transform import Rotation as _R
+
+            angle_lim = np.pi * 0.2
+            rotvec = [rng.uniform(-angle_lim, angle_lim) for _ in range(3)]
+            rand_rot = _R.from_rotvec(rotvec).as_matrix().astype(np.float64)
+
         def evaluate_at(step, z_cur, pose_cur):
             out_p = None
             out, cam = render_for_eval(z_cur, pose_cur, target_center)
@@ -443,6 +529,46 @@ def main():
                 m["depth_error_random"] = (jnp.sum(
                     jnp.abs(perm_depth - out_p.depth) * valid_p
                 ) / jnp.maximum(jnp.sum(valid_p), 1))[None]
+            elif rand_rot is not None:
+                # Random-rotation novel view (kitti/waymo): render at the
+                # perturbed fitted camera; depth GT = this view's LiDAR
+                # reprojected through the same perturbation (fitted ≈ true
+                # camera — the same approximation the front-view depth
+                # error makes). No GT image exists at a synthetic
+                # viewpoint, so the image metrics are NaN columns.
+                cam_c, focal_c = inv_mod.build_camera(
+                    pose_cur, config_ds.camera_flipped
+                )
+                w2c_p = np.array(invert_space(cam_c), dtype=np.float64)
+                w2c_p[0, :3, :3] = w2c_p[0, :3, :3] @ rand_rot
+                perm_params = inv_mod.pose_params_from_matrix(
+                    invert_space(
+                        jnp.asarray(w2c_p.astype(np.float32))
+                    ),
+                    focal_c,
+                    config_ds.camera_flipped,
+                )
+                out_p, _ = render_for_eval(z_cur, perm_params,
+                                           target_center)
+                nan = jnp.full((1,), jnp.nan)
+                m["psnr_random"] = nan
+                m["ssim_random"] = nan
+                m["lpips_random"] = nan
+                M = w2c_p[0] @ np.asarray(cam_c, dtype=np.float64)[0]
+                gt_p = reproject_depth(
+                    np.asarray(gt_depth)[0],
+                    np.asarray(K, np.float64),
+                    M,
+                )
+                valid_p = (gt_p > 0) & (
+                    np.asarray(out_p.mask)[0] > 0.5
+                )
+                err = np.sum(
+                    np.abs(gt_p - np.asarray(out_p.depth)[0]) * valid_p
+                ) / max(int(valid_p.sum()), 1)
+                m["depth_error_random"] = jnp.asarray(
+                    [np.float32(err)]
+                )
             mh = jax.device_get(m)
             report.add(step, mh)
             return mh, out, out_p

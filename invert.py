@@ -44,7 +44,10 @@ def main():
     from nerf_from_image_tpu.pose import pnp
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
+    from nerf_from_image_tpu.parallel import mesh as mesh_mod
+
     args = arguments.parse_args()
+    mesh_mod.maybe_init_multihost(args)
     if args.inv_train_coord_only:
         # Train the bootstrap encoder and exit (reference: run.py:1806-1808).
         # Encoder training lives in its own driver here.
@@ -199,7 +202,6 @@ def main():
     # SPMD data parallelism: params replicated, batch leaves sharded over
     # the mesh 'data' axis — the analog of the reference's DataParallel
     # inversion batch scaling (run.py:1757).
-    from nerf_from_image_tpu.parallel import mesh as mesh_mod
 
     n_dev = args.chips or jax.device_count()
     mesh = mesh_mod.make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
@@ -281,11 +283,19 @@ def main():
     report_dir = os.path.join(args.root_path, "reports",
                               f"inv_{args.dataset}{split_tag}")
     report_ckpt_prefix = os.path.join(report_dir, "report_checkpoint")
-    report = eval_mod.InversionReport(checkpoint_steps)
+    from nerf_from_image_tpu.models.lpips import lpips_metric_grade
+
+    metric_notes = (
+        {}
+        if lpips_metric_grade()
+        else {"lpips": "(RANDOM-FEATURE — not metric grade)"}
+    )
+    report = eval_mod.InversionReport(checkpoint_steps, metric_notes)
     resume_idx = 0
     if not demo_mode and os.path.exists(report_ckpt_prefix + ".npz"):
         # Resumable reports (reference: run.py:1858-1871, 2329-2336).
         report = eval_mod.InversionReport.load(report_ckpt_prefix)
+        report.metric_notes = metric_notes
         resume_idx = report.num_samples()
         print(f"Resuming inversion report at image {resume_idx}")
     # Reference inversion batch: batch_size // 4 per device

@@ -35,6 +35,11 @@ def parse_args(argv=None):
                         help="Reference-CLI compatibility alias for --chips "
                              "(reference arguments.py:22-25); device count "
                              "maps onto the TPU mesh size")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Initialize jax.distributed (DCN multi-host "
+                             "SPMD); mesh and batch sharding then span all "
+                             "hosts. Also auto-enabled when a cluster "
+                             "environment is detected.")
     parser.add_argument("--dataset", type=str, default="autodetect",
                         help="Dataset among (shapenet_*, p3d_*, cub, "
                              "imagenet_*, carla, synthetic)")
@@ -48,6 +53,10 @@ def parse_args(argv=None):
 
     # Training settings
     parser.add_argument("--iterations", type=int, default=300000)
+    parser.add_argument("--display_every", type=int, default=0,
+                        help="Eval/checkpoint cadence override (0 = the "
+                             "reference-scaled default; reference run.py:518 "
+                             "fixes 5000)")
     parser.add_argument("--lr_g", type=float, default=0.0025)
     parser.add_argument("--lr_d", type=float, default=0.002)
     parser.add_argument("--dual_discriminator", action="store_true")

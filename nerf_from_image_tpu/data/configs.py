@@ -99,7 +99,10 @@ _SYNTHETIC = dict(
     has_bbox=False,
     is_highres=False,
     views_per_object=1,
-    views_per_object_test=None,
+    # A held-out synthetic test split exists (fresh procedural draw), so
+    # the train-time test-split evaluation path (reference:
+    # run.py:1391-1398) is exercisable without external data.
+    views_per_object_test=1,
     camera_projection_model="perspective",
     camera_flipped=False,
 )

@@ -136,7 +136,12 @@ def load_dataset(
         from nerf_from_image_tpu.data.synthetic import make_synthetic_split
 
         train = make_synthetic_split(max_images or 64, resolution)
-        return config, train, train, None
+        test = (
+            make_synthetic_split(max_images or 64, resolution, seed=1)
+            if need_test
+            else None
+        )
+        return config, train, train, test
 
     # p3d / imagenet / cub collections.
     from nerf_from_image_tpu.data.custom import CUBCollection, CustomCollection

@@ -7,9 +7,10 @@ subset selection (<= 8000 images, matching the Pix2NeRF protocol), the
 novel-view permutation pairing each eval image with another view of the
 same object, and the fixed z_fid latent draws.
 
-Arrays are host numpy; `shard_to_mesh` places them as device arrays sharded
-over the mesh 'data' axis (host-sharded on multi-host via
-jax.make_array_from_process_local_data).
+Arrays are host numpy; drivers place selected batches on the mesh 'data'
+axis with parallel.mesh.shard_batch (single-process) or
+parallel.mesh.shard_global_batch (multi-host: each process contributes its
+local shard via jax.make_array_from_process_local_data).
 """
 
 from __future__ import annotations

@@ -88,18 +88,24 @@ def load_srn_split(
     assert intrins, f"no SRN objects under {base_path}"
 
     rng = np.random.RandomState(1234)
-    all_imgs, all_poses = [], []
-    focal = center = None
+    all_imgs, all_poses, all_centers = [], [], []
+    focal = None
     for ip in intrins:
         imgs, poses, f, c = _load_object(ip, image_size, limit_views, rng)
         if focal is None:
-            focal, center = f, c
+            focal = f
         all_imgs.append(imgs)
         all_poses.append(poses)
+        # Per-object principal point, normalized to [0, 1] like
+        # get_ray_bundle's `center` argument. The reference loads it per
+        # object and asserts uniformity (data/loaders.py:428-429); we keep
+        # it per image so off-center SRN intrinsics render correctly.
+        all_centers.append(np.broadcast_to(c, (len(imgs), 2)))
 
     images = np.concatenate(all_imgs)
     return DatasetSplit(
         images=images,
         tform_cam2world=np.concatenate(all_poses),
         focal_length=np.full((len(images),), focal, np.float32),
+        center=np.ascontiguousarray(np.concatenate(all_centers)),
     )

@@ -129,11 +129,16 @@ class InversionReport:
     """Accumulates per-checkpoint metric batches and writes the consolidated
     report (.npz tensors + .txt summary; reference: run.py:2338-2404)."""
 
-    def __init__(self, checkpoint_steps):
+    def __init__(self, checkpoint_steps, metric_notes=None):
         self.checkpoint_steps = list(checkpoint_steps)
         self.items: Dict[int, Dict[str, list]] = {
             step: {} for step in self.checkpoint_steps
         }
+        # metric prefix -> note appended to its summary lines, e.g.
+        # {"lpips": "(RANDOM-FEATURE — not metric grade)"} when LPIPS runs
+        # without pretrained weights. Keeps a report produced in a
+        # zero-weight environment visibly non-comparable.
+        self.metric_notes: Dict[str, str] = dict(metric_notes or {})
 
     def add(self, step: int, metrics: Dict[str, Any], recovered=None):
         item = self.items[step]
@@ -164,7 +169,15 @@ class InversionReport:
                     continue
                 if k in ("ws", "z0", "R", "s", "t2"):
                     continue
-                lines.append(f"  {k}: {float(np.mean(v)):.5f}")
+                note = next(
+                    (
+                        f" {n}"
+                        for pfx, n in self.metric_notes.items()
+                        if k == pfx or k.startswith(pfx + "_")
+                    ),
+                    "",
+                )
+                lines.append(f"  {k}: {float(np.mean(v)):.5f}{note}")
             if fid_stats_real is not None:
                 for which in ("front", "random"):
                     key = f"inception_activations_{which}"
@@ -181,7 +194,11 @@ class InversionReport:
         return "\n".join(lines)
 
     def save(self, path_prefix: str, fid_stats_real=None):
-        os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
+        # GCS-aware (gs:// report dirs like the reference's open_file,
+        # lib/utils.py:23-56); local paths stay dependency-free.
+        from nerf_from_image_tpu.utils import fileio
+
+        fileio.mkdir(os.path.dirname(path_prefix) or ".")
         flat = {}
         for step, item in self.consolidated().items():
             for k, v in item.items():
@@ -190,9 +207,10 @@ class InversionReport:
         # resume checkpoint of a multi-hour inversion run (load() would
         # raise on a truncated zip and lose the resume cursor).
         tmp = path_prefix + ".tmp.npz"  # np.savez appends .npz otherwise
-        np.savez(tmp, **flat)
-        os.replace(tmp, path_prefix + ".npz")
-        with open(path_prefix + ".txt", "w") as f:
+        with fileio.open_file(tmp, "wb") as f:
+            np.savez(f, **flat)
+        fileio.replace_file(tmp, path_prefix + ".npz")
+        with fileio.open_file(path_prefix + ".txt", "w") as f:
             f.write(self.summary(fid_stats_real) + "\n")
 
     def num_samples(self, metric: str = "psnr") -> int:
@@ -205,8 +223,15 @@ class InversionReport:
 
     @classmethod
     def load(cls, path_prefix: str) -> "InversionReport":
-        """Rebuilds a report from a saved .npz checkpoint."""
-        data = np.load(path_prefix + ".npz")
+        """Rebuilds a report from a saved .npz checkpoint (local or gs://)."""
+        import io as _io
+
+        from nerf_from_image_tpu.utils import fileio
+
+        with fileio.open_file(path_prefix + ".npz", "rb") as f:
+            # Buffer fully: np.load reads the zip lazily, and the file
+            # object closes with the context manager.
+            data = np.load(_io.BytesIO(f.read()))
         steps = sorted(
             {int(k.split("/", 1)[0][len("step"):]) for k in data.files}
         )

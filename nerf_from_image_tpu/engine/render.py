@@ -194,6 +194,29 @@ def render_field(
             # rematerialization this config exists to guarantee.
             n_chunks = -(-n_points // chunk)
             pad = n_chunks * chunk - n_points
+            # Chunks slice the (ray-major, sample-minor) point axis, so a
+            # chunk that is a whole number of image ROWS is itself a
+            # ray-coherent tile — the Pallas windowed-splat backward
+            # applies per chunk with img_shape (rows, W, S). Under
+            # jax.checkpoint the splat's gather residuals are
+            # rematerialized, keeping the chunked path's memory bound.
+            chunk_splat_spec = None
+            if (
+                config.plane_splat
+                and pad == 0
+                and n_points == H * W * s_pass
+                and chunk % (W * s_pass) == 0
+                and (chunk // (W * s_pass)) % th == 0
+                and W % tw == 0
+                and s_pass % ts == 0
+            ):
+                chunk_splat_spec = (
+                    (chunk // (W * s_pass), W, s_pass),
+                    config.plane_dtype,
+                    config.splat_block,
+                    config.splat_window[0],
+                    config.splat_window[1],
+                )
             flat_p = (
                 jnp.pad(flat, ((0, 0), (0, pad), (0, 0))) if pad else flat
             )
@@ -208,13 +231,21 @@ def render_field(
                 ).swapaxes(0, 1)
                 out = jax.lax.map(
                     jax.checkpoint(
-                        lambda pe: field_fn(pe[0], requests, pe[1])
+                        lambda pe: field_fn(
+                            pe[0], requests, pe[1],
+                            splat_spec=chunk_splat_spec,
+                        )
                     ),
                     (chunked, emb_c),
                 )
             else:
                 out = jax.lax.map(
-                    jax.checkpoint(lambda p: field_fn(p, requests)), chunked
+                    jax.checkpoint(
+                        lambda p: field_fn(
+                            p, requests, splat_spec=chunk_splat_spec
+                        )
+                    ),
+                    chunked,
                 )
             out = {
                 k: v.swapaxes(0, 1).reshape(
@@ -411,10 +442,13 @@ def render(
     planes = model.apply(
         variables, ws, noise_mode, key_noise, method="synthesize"
     )
-    if config.plane_splat and config.query_chunk is None:
+    if config.plane_splat:
         # The fused-splat op casts and corner-packs per field query (cheap
         # relative to the gathers); the decoder needs the RAW planes so the
-        # backward can produce unpacked plane gradients directly.
+        # backward can produce unpacked plane gradients directly. Queries
+        # whose geometry doesn't tile (splat_spec None at call time, e.g.
+        # non-row-aligned chunks of a demo render) fall back to the
+        # raw-plane grid-sample branch in TriplanarDecoder.
         field_planes = planes
     elif config.pack_planes:
         from nerf_from_image_tpu.ops.triplane import pack_corners

@@ -171,4 +171,20 @@ def init_lpips_variables(model, key, resolution, weights_path=None):
             jnp.asarray, lpips_state_to_variables(dict(variables), state)
         )
         print("Loaded LPIPS weights from", weights_path)
+    else:
+        print(
+            "WARNING: LPIPS running on deterministic RANDOM VGG features "
+            "— 'lpips' numbers are NOT metric grade (set NFI_LPIPS_WEIGHTS "
+            "to an lpips-package VGG16 state dict for real values)."
+        )
     return variables
+
+
+def lpips_metric_grade(weights_path=None) -> bool:
+    """True when pretrained LPIPS weights are available — i.e. reported
+    'lpips' values are comparable to the reference's. Drivers stamp
+    reports with a RANDOM-FEATURE note when this is False."""
+    import os
+
+    weights_path = weights_path or os.environ.get("NFI_LPIPS_WEIGHTS")
+    return bool(weights_path and os.path.exists(weights_path))

@@ -30,12 +30,19 @@ def depthwise_conv2d(
     stride: int = 1,
     padding: int = 0,
     transpose: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """Applies the same 2D kernel to every channel of an NHWC tensor.
 
     `transpose=True` gives torch's conv_transpose2d semantics (stride becomes
     input dilation, padding is subtracted from the implicit full padding, and
     the kernel is spatially flipped).
+
+    `precision=None` is the backend default — bf16-truncated multiplies on
+    TPU (and on this CPU backend), fine for the resampling filters whose
+    golden tolerances absorb it. Pass Precision.HIGHEST where the
+    reference's strict-f32 contract matters (warmup blur: the reference
+    explicitly disables TF32, run.py:59-60).
     """
     C = x.shape[-1]
     kh, kw = kernel2d.shape
@@ -56,6 +63,7 @@ def depthwise_conv2d(
             lhs_dilation=(stride, stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C,
+            precision=precision,
         )
     return jax.lax.conv_general_dilated(
         x,
@@ -64,6 +72,7 @@ def depthwise_conv2d(
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
+        precision=precision,
     )
 
 
@@ -91,7 +100,10 @@ def filt2d_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     if kernel.ndim == 1:
         kernel = kernel[None, :] * kernel[:, None]
     pad = kernel.shape[-1] // 2
-    return depthwise_conv2d(x, kernel, stride=1, padding=pad)
+    return depthwise_conv2d(
+        x, kernel, stride=1, padding=pad,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def blur_dynamic(
@@ -106,9 +118,20 @@ def blur_dynamic(
     Matches the reference blur (lib/ops.py:42-55) which rebuilds a
     floor(3*sigma)-tap kernel every iteration (a dynamic shape). Here the
     kernel has a fixed 2*max_blur_size+1 support and taps beyond the
-    reference's dynamic extent are masked to zero in-graph, so the result is
-    bit-identical to the dynamic kernel while keeping shapes static under
-    jit. sigma == 0 reduces exactly to identity.
+    dynamic extent are masked to zero in-graph, so the masked kernel equals
+    the dynamic-support kernel while keeping shapes static under jit.
+    sigma == 0 reduces exactly to identity; the conv runs at
+    Precision.HIGHEST (the reference's strict-f32 contract, run.py:59-60).
+
+    Boundary caveat (golden-tested): at iterations where the reference's
+    f64 schedule lands within one ulp of an integer kernel-size boundary
+    (e.g. i=900 of warmup 1000: f64 gives floor(2.9999999999999996)=2
+    while the traced f32 sigma gives exactly 3.0), the discrete support
+    differs by one tap for that single iteration. Away from exact
+    boundaries (everywhere else: the schedule points are >= 1/warmup away
+    from a boundary, f32 noise is ~1e-6) the supports are identical. The
+    static `blur` below takes a host-side f64 sigma and reproduces the
+    reference discretization bit-exactly at every iteration.
     """
     taps = jnp.arange(-max_blur_size, max_blur_size + 1, dtype=x.dtype)
     blur_size = jnp.floor(sigma * 3.0)
@@ -120,7 +143,10 @@ def blur_dynamic(
     kernel = f[None, :] * f[:, None]
     if white_background:
         x = x - 1.0
-    x = depthwise_conv2d(x, kernel, stride=1, padding=max_blur_size)
+    x = depthwise_conv2d(
+        x, kernel, stride=1, padding=max_blur_size,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if white_background:
         x = x + 1.0
     return x

@@ -27,11 +27,35 @@ when the call is embedded in a large XLA program (standalone runs are
 fine; a no-op kernel body with such outputs still crashes; a 4 KB output
 is fine; HBM-space outputs written by explicit pltpu.make_async_copy
 from VMEM scratch work even at 64 MB). splat.py therefore writes its
-outputs via memory_space=ANY + DMA flush. The integrated render step
-still hits a residual in-context crash being isolated; until it lands,
-RenderConfig.plane_splat defaults to False and bench.py measures the
-round-2 path. All kernel-correctness claims above are green in
-tests/test_splat.py (CPU interpret) and scripts/bench_splat.py (TPU).
+outputs via memory_space=ANY + DMA flush.
+
+Round-3 isolation of the residual in-context crash (/tmp bisect scripts,
+each stage run as its own TPU process):
+
+* bench step, splat, query_chunk=None, grads wrt ws ONLY  -> runs,
+  125,985 rays/s (vs 106.8k round-2 scatter baseline).
+* same, grads wrt pose ONLY (splat kernel DCE'd)          -> runs, 264k.
+* same, grads wrt (ws, pose), B=2                         -> runs, 88.9k
+  (at half batch).
+* same, grads wrt (ws, pose), B=4                         -> crashes the
+  worker at first execution.
+
+jit(...).compile().memory_analysis() temp sizes: scatter B=4 full
+10.26 GB (runs), splat ws-only 6.98 GB (runs), splat full 10.55 GB
+(crashes). Every crashing configuration sits above ~10.3 GB of XLA temps
+and every running one below — i.e. the "crash" is this worker's
+out-of-memory behavior (the axon tunnel kills the worker instead of
+raising RESOURCE_EXHAUSTED), with ~10.3-10.5 GB of the 16 GB HBM usable
+for temps. The kernel itself is sound in-context.
+
+Consequence: plane_splat is also wired into the CHUNKED query path
+(engine/render.py chunk_splat_spec) — a chunk that is a whole number of
+image rows is itself a ray-coherent tile, so the windowed splat applies
+per chunk while jax.checkpoint keeps the chunked path's memory bound
+(residuals rematerialized). That configuration fits HBM at B=4 with full
+gradients. All kernel-correctness claims above are green in
+tests/test_splat.py (CPU interpret, incl. the chunked-splat render
+equivalence) and scripts/bench_splat.py (TPU).
 
 Older round-2 measurements (still valid): forward gather row-rate wall
 ~300 Mrows/s (bf16), XLA scatter flat at ~57-68 Mrows/s regardless of

@@ -173,10 +173,33 @@ def _solve_single_focal(pts, uv_pix, w, focal):
     return R, t, err
 
 
+def _compact_foreground(pts, uv_pix, w, max_points):
+    """Foreground compaction: keep only (up to) `max_points` mask-selected
+    rows per sample before the DLT/Gauss-Newton matmuls.
+
+    Weights zero out background, but without compaction the solver still
+    multiplies all H*W rows PER FOCAL GUESS. top_k on the binary weights
+    selects exactly the foreground rows (plus zero-weight pads) whenever
+    the mask has <= max_points pixels — the solve is then bit-equivalent
+    to the uncompacted one (weighted LS is row-order invariant; zero
+    rows contribute nothing) at a fraction of the FLOPs. Oversized masks
+    (> max_points foreground pixels, i.e. > half the crop at the default)
+    are truncated to the first max_points rows in scan order — a
+    statistically dense subset. Measured: see scripts/bench_pnp.py."""
+    if max_points is None or max_points >= pts.shape[1]:
+        return pts, uv_pix, w
+    _, sel = jax.lax.top_k(w, max_points)
+    pts = jnp.take_along_axis(pts, sel[..., None], axis=1)
+    uv_pix = jnp.take_along_axis(uv_pix, sel[..., None], axis=1)
+    w = jnp.take_along_axis(w, sel, axis=1)
+    return pts, uv_pix, w
+
+
 def compute_pose_pnp(
     coords: jnp.ndarray,
     masks: jnp.ndarray,
     focal_guesses: Optional[jnp.ndarray],
+    max_points: Optional[int] = 8192,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched PnP over a grid coordinate map.
 
@@ -184,6 +207,8 @@ def compute_pose_pnp(
       coords: [B, H, W, 3] predicted canonical (world) coordinates.
       masks: [B, H, W] boolean/{0,1} foreground mask.
       focal_guesses: [K] candidate focal lengths.
+      max_points: foreground-compaction budget (see _compact_foreground);
+        None disables compaction.
 
     Returns:
       (world2cam [B, 4, 4] — flipped-camera convention, focal [B], err [B]).
@@ -197,6 +222,7 @@ def compute_pose_pnp(
     uv_pix = jnp.broadcast_to(uv_pix, (B, H * W, 2))
     pts = coords.reshape(B, -1, 3)
     w = masks.reshape(B, -1).astype(coords.dtype)
+    pts, uv_pix, w = _compact_foreground(pts, uv_pix, w, max_points)
 
     focals = jnp.asarray(focal_guesses, coords.dtype)
 
@@ -240,6 +266,7 @@ def compute_pose_pnp_known_k(
     coords: jnp.ndarray,
     masks: jnp.ndarray,
     intrinsics: jnp.ndarray,
+    max_points: Optional[int] = 8192,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """PnP with known per-sample intrinsics (driving evals; reference:
     lib/pose_estimation.py:134-235 compute_pose_pnp_new).
@@ -248,6 +275,7 @@ def compute_pose_pnp_known_k(
       coords: [B, H, W, 3]; masks: [B, H, W] in [0, 1] (threshold 0.9);
       intrinsics: [B, 3, 3] normalized to the crop (focal + principal point
         in the (i/W - 0.5, j/H - 0.5) screen units).
+      max_points: foreground-compaction budget (see _compact_foreground).
     Returns:
       (world2cam [B, 4, 4] flipped-camera convention, err [B]).
     """
@@ -260,6 +288,7 @@ def compute_pose_pnp_known_k(
     uv_pix = jnp.broadcast_to(uv_pix, (B, H * W, 2))
     pts = coords.reshape(B, -1, 3)
     w = (masks.reshape(B, -1) > 0.9).astype(coords.dtype)
+    pts, uv_pix, w = _compact_foreground(pts, uv_pix, w, max_points)
 
     def per_sample(pts_i, uv_i, w_i, K):
         fx, fy = K[0, 0], K[1, 1]

@@ -882,3 +882,51 @@ def test_aabb_on_face_parallel_ray_no_nan():
     near, far = aabb.compute_near_far_planes(o, d, 1.4)
     assert np.isfinite(np.asarray(near)).all()
     assert np.isfinite(np.asarray(far)).all()
+
+
+def test_perturb_poses_golden():
+    """perturb_poses vs the reference (lib/pose_utils.py:171-186): identical
+    target distances -> identical nearest-neighbour pose swap. The torch
+    generator's rand sequence is replayed and injected via
+    `target_distances` (exact RNG parity across frameworks is impossible;
+    the selection logic is what's under test)."""
+    from tests.conftest import import_reference_module, reference_available
+
+    if not reference_available():
+        pytest.skip("reference checkout not available")
+    torch = pytest.importorskip("torch")
+    ref_pose = import_reference_module("lib.pose_utils")
+    from nerf_from_image_tpu.pose.pose import perturb_poses
+
+    rng = np.random.default_rng(7)
+    n = 24
+    mats = []
+    for _ in range(n):
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        m = np.eye(4)
+        m[:3, :3] = q
+        m[:3, 3] = q @ np.array([0.0, 0.0, 2.5])
+        mats.append(m)
+    poses = np.stack(mats).astype(np.float32)
+    focal = (1.0 + rng.random(n)).astype(np.float32)
+    avg_angle = 30.0
+
+    ref_out, ref_focal = ref_pose.perturb_poses(
+        torch.from_numpy(poses), avg_angle, torch.from_numpy(focal)
+    )
+
+    # Replay the reference's torch.Generator(1234) rand draws.
+    g = torch.Generator().manual_seed(1234)
+    targets = np.array(
+        [float(torch.rand((1,), generator=g)) * avg_angle * 2
+         for _ in range(n)]
+    )
+    got, got_focal = perturb_poses(
+        poses, avg_angle, focal, target_distances=targets
+    )
+    np.testing.assert_allclose(got, ref_out.numpy(), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        got_focal, ref_focal.numpy(), rtol=1e-6, atol=1e-6
+    )

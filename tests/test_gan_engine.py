@@ -596,3 +596,150 @@ class TestViewdirChunking:
         # And the viewdir layer actually fires: zero embedding path would
         # leave rgb independent of ray direction mixing; sanity only.
         assert np.isfinite(np.asarray(out_chunk.rgb)).all()
+
+
+class TestGoldenVsReference:
+    """Golden tests against the PyTorch reference: warmup blur and the
+    discriminator real/fake/R1 losses with transferred weights."""
+
+    def test_blur_golden(self):
+        from tests.conftest import import_reference_module, reference_available
+
+        if not reference_available():
+            pytest.skip("reference checkout not available")
+        torch = pytest.importorskip("torch")
+        ref_ops = import_reference_module("lib.ops")
+        from nerf_from_image_tpu.ops import filters
+
+        rng = np.random.default_rng(0)
+        x = rng.random((2, 24, 24, 3)).astype(np.float32) * 2 - 1
+        warmup = 1000
+        # Iterations spanning the blur schedule: sigma = 10 -> 0
+        # (reference lib/ops.py:42-55), incl. the blur_size == 0 identity.
+        # i=900 sits EXACTLY on a kernel-size boundary (f64 schedule gives
+        # floor(2.9999999999999996)=2; the traced f32 sigma gives 3.0) —
+        # the static blur still matches bit-for-bit there, the dynamic
+        # variant's documented one-tap divergence is asserted separately.
+        boundary = {900}
+        for i in [0, 125, 500, 900, 999, 1000]:
+            for white in (False, True):
+                with torch.no_grad():
+                    ref = (
+                        ref_ops.blur(
+                            torch.from_numpy(
+                                np.transpose(x, (0, 3, 1, 2))
+                            ),
+                            i, warmup, white,
+                        )
+                        .permute(0, 2, 3, 1)
+                        .numpy()
+                    )
+                sigma = max(1 - i / warmup, 0) * 10
+                got_static = np.asarray(
+                    filters.blur(jnp.asarray(x), sigma, white)
+                )
+                np.testing.assert_allclose(
+                    got_static, ref, rtol=1e-5, atol=1e-5,
+                    err_msg=f"static blur i={i} white={white}",
+                )
+                got_dyn = np.asarray(
+                    jax.jit(
+                        lambda xx, s: filters.blur_dynamic(
+                            xx, s, white
+                        )
+                    )(jnp.asarray(x), jnp.asarray(sigma, jnp.float32))
+                )
+                if i in boundary:
+                    # Documented one-tap boundary divergence (see
+                    # filters.blur_dynamic docstring): same kernel family,
+                    # support wider by one tap for this iteration only.
+                    np.testing.assert_allclose(
+                        got_dyn, ref, rtol=1.0, atol=5e-3,
+                        err_msg=f"dynamic blur i={i} white={white}",
+                    )
+                else:
+                    np.testing.assert_allclose(
+                        got_dyn, ref, rtol=1e-5, atol=1e-5,
+                        err_msg=f"dynamic blur i={i} white={white}",
+                    )
+
+    def test_r1_and_d_losses_golden(self):
+        from tests.conftest import import_reference_module, reference_available
+
+        if not reference_available():
+            pytest.skip("reference checkout not available")
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        ref_disc = import_reference_module("models.discriminator")
+        from nerf_from_image_tpu.engine import gan
+        from nerf_from_image_tpu.models.discriminator import Discriminator
+        from nerf_from_image_tpu.utils import torch_interop
+
+        torch.manual_seed(3)
+        tD = ref_disc.Discriminator(
+            resolution=16, nc=3,
+            dataset_config={"camera_flipped": False},
+            conditional_pose=True,
+        )
+        tD.eval()
+        jD = Discriminator(
+            resolution=16, nc=3, camera_flipped=False, conditional_pose=True
+        )
+
+        rng = np.random.default_rng(4)
+        real = random_batch(rng, 4, with_images=True)
+        fake = random_batch(rng, 4, with_images=True)
+        variables = jD.init(
+            jax.random.key(0), real["images"], pose=real["pose"],
+            focal=real["focal"],
+        )
+        sd = torch_interop.torch_module_state_to_numpy(tD)
+        variables = torch_interop.state_dict_to_variables(dict(variables), sd)
+        params = jax.tree.map(jnp.asarray, variables)["params"]
+
+        config = GANTrainConfig = None  # noqa: F841 (clarity below)
+        from nerf_from_image_tpu.engine.gan import GANTrainConfig
+
+        config = GANTrainConfig(batch_size=4, latent_dim=8, r1=5.0)
+
+        _, metrics = gan._d_branch(
+            config, jD, params,
+            (real["images"], real["pose"], real["focal"], None, None),
+            (fake["images"], fake["pose"], fake["focal"], None, None),
+        )
+
+        # Torch oracle — GANLoss (reference run.py:353-362: softplus
+        # non-saturating) and the lazy R1 penalty (run.py:1100-1105).
+        t_real = torch.from_numpy(
+            np.transpose(np.asarray(real["images"]), (0, 3, 1, 2))
+        ).requires_grad_()
+        t_fake = torch.from_numpy(
+            np.transpose(np.asarray(fake["images"]), (0, 3, 1, 2))
+        )
+        d_real = tD(
+            t_real, 0, pose=torch.from_numpy(np.asarray(real["pose"])),
+            focal=torch.from_numpy(np.asarray(real["focal"])),
+        )
+        (g,) = torch.autograd.grad(d_real.sum(), t_real, create_graph=True)
+        ref_r1 = g.contiguous().view(4, -1).square().sum(dim=1).mean()
+        ref_loss_real = F.softplus(-d_real).mean()
+        with torch.no_grad():
+            d_fake = tD(
+                t_fake, 0,
+                pose=torch.from_numpy(np.asarray(fake["pose"])),
+                focal=torch.from_numpy(np.asarray(fake["focal"])),
+            )
+            ref_loss_fake = F.softplus(d_fake).mean()
+
+        np.testing.assert_allclose(
+            float(metrics["loss_d_real"]), float(ref_loss_real),
+            rtol=2e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss_d_fake"]), float(ref_loss_fake),
+            rtol=2e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss_r1"]), float(ref_r1), rtol=2e-3, atol=1e-5,
+        )

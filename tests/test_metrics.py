@@ -141,3 +141,108 @@ class TestMesh:
         params = {"w": jnp.zeros((8, 8))}
         rep = mesh_mod.replicate(mesh, params)
         assert rep["w"].sharding.is_fully_replicated
+
+
+class TestLPIPSWeightInterop:
+    """Value-level test of lpips_state_to_variables: a torch VGG16-features
+    trunk with random weights is exported in the lpips package's key format
+    ('features.N.weight' + 'lin{i}.model.1.weight'), loaded into the flax
+    tree, and the full LPIPS distance is compared against a torch oracle
+    implementing the lpips formula (scaling layer, channel-unit-normalized
+    taps, non-negative 1x1 lin heads, spatial mean — reference:
+    lib/metrics.py:106-146 wraps lpips.LPIPS(net='vgg'))."""
+
+    def test_distance_matches_torch_oracle(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+        import torch.nn.functional as F
+
+        import jax
+        import jax.numpy as jnp
+
+        from nerf_from_image_tpu.models.lpips import (
+            LPIPS,
+            lpips_state_to_variables,
+        )
+
+        torch.manual_seed(0)
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512]
+        layers = []
+        in_ch = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers.append(tnn.Conv2d(in_ch, v, 3, padding=1))
+                layers.append(tnn.ReLU())
+                in_ch = v
+        features = tnn.Sequential(*layers)
+        for m in features:
+            if isinstance(m, tnn.Conv2d):
+                tnn.init.normal_(m.weight, std=0.2)
+                tnn.init.normal_(m.bias, std=0.1)
+
+        lin_chans = [64, 128, 256, 512, 512]
+        lins = [torch.rand(c) * 0.1 for c in lin_chans]
+
+        # Export in the lpips package's key layout.
+        state = {}
+        for name, t in features.state_dict().items():
+            state[f"features.{name}"] = t.detach().numpy()
+        for i, w in enumerate(lins):
+            state[f"lin{i}.model.1.weight"] = (
+                w.reshape(1, -1, 1, 1).numpy()
+            )
+
+        model = LPIPS()
+        rng = np.random.default_rng(1)
+        x0 = rng.random((2, 32, 32, 3)).astype(np.float32) * 2 - 1
+        x1 = rng.random((2, 32, 32, 3)).astype(np.float32) * 2 - 1
+        variables = model.init(
+            jax.random.key(0), jnp.asarray(x0), jnp.asarray(x1)
+        )
+        variables = jax.tree.map(
+            jnp.asarray, lpips_state_to_variables(dict(variables), state)
+        )
+        got = np.asarray(
+            model.apply(variables, jnp.asarray(x0), jnp.asarray(x1))
+        )
+
+        # Torch oracle.
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def taps(im):
+            x = (torch.from_numpy(
+                np.transpose(im, (0, 3, 1, 2))
+            ) - shift) / scale
+            outs = []
+            relu_count = 0
+            per_stage = [2, 2, 3, 3, 3]
+            stage = 0
+            for m in features:
+                x = m(x)
+                if isinstance(m, tnn.ReLU):
+                    relu_count += 1
+                    if relu_count == per_stage[stage]:
+                        outs.append(x)
+                        relu_count = 0
+                        stage += 1
+            return outs
+
+        def normalize(t, eps=1e-10):
+            n = torch.sqrt(torch.sum(t**2, dim=1, keepdim=True))
+            return t / (n + eps)
+
+        with torch.no_grad():
+            f0 = [normalize(t) for t in taps(x0)]
+            f1 = [normalize(t) for t in taps(x1)]
+            total = 0.0
+            for i, (a, b) in enumerate(zip(f0, f1)):
+                w = torch.clamp(lins[i], min=0.0).view(1, -1, 1, 1)
+                d = ((a - b) ** 2 * w).sum(dim=1)
+                total = total + d.mean(dim=(1, 2))
+            ref = total[:, None].numpy()
+
+        np.testing.assert_allclose(got, ref, rtol=5e-3, atol=1e-5)

@@ -239,3 +239,113 @@ class TestCoordRegressorStep:
         )
         np.testing.assert_allclose(sched_early, config.lr, rtol=1e-6)
         np.testing.assert_allclose(sched_late, config.lr / 10, rtol=1e-6)
+
+
+class TestDiscriminatorGolden:
+    """Golden tests vs the PyTorch reference with transferred weights
+    (reference: models/stylegan.py:493-676, models/discriminator.py:21-80).
+    Same technique as test_encoder_golden.py: randomly-initialized
+    reference modules, weights spliced into the flax tree, logits
+    asserted allclose."""
+
+    @staticmethod
+    def _torch_nchw(x):
+        import torch
+
+        return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+    def test_backbone_unconditional(self):
+        from tests.conftest import import_reference_module, reference_available
+
+        if not reference_available():
+            pytest.skip("reference checkout not available")
+        torch = pytest.importorskip("torch")
+        ref_sg = import_reference_module("models.stylegan")
+        from nerf_from_image_tpu.models.stylegan import DiscriminatorBackbone
+        from nerf_from_image_tpu.utils import torch_interop
+
+        torch.manual_seed(0)
+        tD = ref_sg.DiscriminatorBackbone(
+            c_dim=0, img_resolution=32, img_channels=3,
+            channel_base=1024, channel_max=64,
+        )
+        tD.eval()
+        jD = DiscriminatorBackbone(
+            c_dim=0, img_resolution=32, img_channels=3,
+            channel_base=1024, channel_max=64,
+        )
+        x = (
+            np.random.default_rng(0)
+            .random((4, 32, 32, 3))
+            .astype(np.float32)
+            * 2
+            - 1
+        )
+        variables = jD.init(jax.random.key(0), jnp.asarray(x))
+        sd = torch_interop.torch_module_state_to_numpy(tD)
+        variables = jax.tree.map(
+            jnp.asarray,
+            torch_interop.state_dict_to_variables(dict(variables), sd),
+        )
+        with torch.no_grad():
+            ref = tD(self._torch_nchw(x)).numpy()
+        got = np.asarray(jD.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+    def test_full_discriminator_pose_conditioned(self):
+        from tests.conftest import import_reference_module, reference_available
+
+        if not reference_available():
+            pytest.skip("reference checkout not available")
+        torch = pytest.importorskip("torch")
+        ref_disc = import_reference_module("models.discriminator")
+        from nerf_from_image_tpu.models.discriminator import Discriminator
+        from nerf_from_image_tpu.utils import torch_interop
+
+        torch.manual_seed(1)
+        tD = ref_disc.Discriminator(
+            resolution=32, nc=4,
+            dataset_config={"camera_flipped": False},
+            conditional_pose=True,
+        )
+        tD.eval()
+        jD = Discriminator(
+            resolution=32, nc=4, camera_flipped=False, conditional_pose=True
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.random((4, 32, 32, 4)).astype(np.float32) * 2 - 1
+        mats = []
+        for _ in range(4):
+            q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            m = np.eye(4)
+            m[:3, :3] = q
+            m[:3, 3] = q @ np.array([0.0, 0.0, 2.5])
+            mats.append(m)
+        pose = np.stack(mats).astype(np.float32)
+        focal = (1.0 + rng.random(4)).astype(np.float32)
+
+        variables = jD.init(
+            jax.random.key(0), jnp.asarray(x), pose=jnp.asarray(pose),
+            focal=jnp.asarray(focal),
+        )
+        sd = torch_interop.torch_module_state_to_numpy(tD)
+        variables = jax.tree.map(
+            jnp.asarray,
+            torch_interop.state_dict_to_variables(dict(variables), sd),
+        )
+        with torch.no_grad():
+            ref = tD(
+                self._torch_nchw(x), 0,
+                pose=torch.from_numpy(pose),
+                focal=torch.from_numpy(focal),
+            ).numpy()
+        got = np.asarray(
+            jD.apply(
+                variables, jnp.asarray(x), pose=jnp.asarray(pose),
+                focal=jnp.asarray(focal),
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)

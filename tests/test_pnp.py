@@ -117,3 +117,44 @@ class TestPnP:
         # Invert back: should match the GT world2cam.
         w2c_back = np.asarray(invert_space(cam2world))
         np.testing.assert_allclose(w2c_back, w2c_gt, rtol=1e-3, atol=2e-3)
+
+
+class TestForegroundCompaction:
+    """_compact_foreground: bit-equivalence when the mask fits the budget
+    (the production case), graceful truncation when it doesn't."""
+
+    def test_compacted_solution_is_exact(self):
+        rng = np.random.default_rng(11)
+        coords, masks, w2c_gt, focal = synth_problem(rng, B=2)
+        guesses = jnp.asarray([0.9, 1.3, 2.0])
+        full = pnp.compute_pose_pnp(
+            jnp.asarray(coords), jnp.asarray(masks), guesses,
+            max_points=None,
+        )
+        # Budget larger than the foreground count but smaller than H*W:
+        # must be numerically identical (zero-weight rows drop out of the
+        # weighted least squares; row order is irrelevant).
+        n_fg = int(masks.sum(axis=(1, 2)).max())
+        compact = pnp.compute_pose_pnp(
+            jnp.asarray(coords), jnp.asarray(masks), guesses,
+            max_points=min(n_fg + 8, coords.shape[1] * coords.shape[2] - 1),
+        )
+        for a, b in zip(full, compact):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+    def test_truncated_budget_still_recovers_pose(self):
+        rng = np.random.default_rng(12)
+        coords, masks, w2c_gt, focal = synth_problem(rng, B=2, H=32, W=32)
+        n_fg = int(masks.sum(axis=(1, 2)).min())
+        cam, f, err = pnp.compute_pose_pnp(
+            jnp.asarray(coords), jnp.asarray(masks),
+            jnp.asarray([0.9, 1.3, 2.0]),
+            max_points=max(n_fg // 2, 8),
+        )
+        from nerf_from_image_tpu.pose.pose import invert_space  # noqa
+
+        # With half the foreground the pose is still recovered well.
+        w2c = np.asarray(cam)
+        np.testing.assert_allclose(w2c, w2c_gt, rtol=0.1, atol=0.1)

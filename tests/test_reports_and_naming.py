@@ -171,3 +171,30 @@ class TestReportRoundtrip:
         )
         assert "psnr" in res.stdout
         assert f"{float(np.mean(cons[30]['psnr'])):.5f}" in res.stdout
+
+
+class TestFileIO:
+    """GCS-aware IO helpers (reference: lib/utils.py:23-56). Local-path
+    behavior is tested directly; gs:// routes through tf.io.gfile and is
+    exercised only when a bucket is configured."""
+
+    def test_local_roundtrip_and_replace(self, tmp_path):
+        from nerf_from_image_tpu.utils import fileio
+
+        d = tmp_path / "a" / "b"
+        fileio.mkdir(str(d))
+        assert d.is_dir()
+        p = d / "x.txt"
+        with fileio.open_file(str(p), "w") as f:
+            f.write("hello")
+        assert fileio.file_exists(str(p))
+        with fileio.open_file(str(p), "r") as f:
+            assert f.read() == "hello"
+        tmp = d / "x.tmp"
+        with fileio.open_file(str(tmp), "w") as f:
+            f.write("v2")
+        fileio.replace_file(str(tmp), str(p))
+        with fileio.open_file(str(p), "r") as f:
+            assert f.read() == "v2"
+        assert not tmp.exists()
+        assert fileio.is_gcs("gs://bucket/x") and not fileio.is_gcs("/x")

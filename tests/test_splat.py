@@ -156,3 +156,52 @@ def test_render_with_plane_splat_matches_default_path():
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         denom = float(jnp.max(jnp.abs(b))) + 1e-12
         assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-3
+
+
+def test_render_with_chunked_plane_splat_matches_default_path():
+    """plane_splat under query chunking: a chunk that is a whole number of
+    image rows is ray-coherent, so the windowed splat applies per chunk
+    (engine/render.py chunk_splat_spec) with jax.checkpoint remat keeping
+    the chunked path's memory bound."""
+    from nerf_from_image_tpu.engine.render import RenderConfig, render
+    from nerf_from_image_tpu.models.generator import Generator
+    import dataclasses
+
+    model = Generator(
+        latent_dim=64,
+        scene_range=1.4,
+        attention_values=4,
+        use_sdf=True,
+        w_dim=64,
+        plane_channels=32,
+        synthesis_resolution=64,
+        channel_base=2048,
+        channel_max=64,
+    )
+    variables = model.init(jax.random.key(0), method="init_all")
+    # 16x16 rays x 8 samples: chunk = 8 rows x 16 x 8 = 1024 points.
+    cfg = RenderConfig(
+        resolution=16,
+        depth_samples_per_ray=8,
+        fine_sampling=True,
+        scene_range=1.4,
+        query_chunk=1024,
+        plane_splat=True,
+        splat_block=(8, 8, 4),
+        splat_window=(16, 16),
+    )
+    cfg_ref = dataclasses.replace(cfg, plane_splat=False)
+    pose = jnp.eye(4)[None].at[:, 2, 3].set(2.5)
+    focal = jnp.full((1,), 1.2)
+    ws = jax.random.normal(jax.random.key(2), (1, model.num_ws, 64)) * 0.1
+
+    def loss(ws, pose, cfg):
+        out, _ = render(cfg, model, variables, pose, focal, ws)
+        return jnp.sum(jnp.square(out.rgb)) + jnp.sum(jnp.square(out.mask))
+
+    la, ga = jax.value_and_grad(loss, argnums=(0, 1))(ws, pose, cfg)
+    lb, gb = jax.value_and_grad(loss, argnums=(0, 1))(ws, pose, cfg_ref)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        denom = float(jnp.max(jnp.abs(b))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-3

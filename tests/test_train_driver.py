@@ -1,0 +1,67 @@
+"""End-to-end train.py drive in encoder mode: the train-time evaluate()
+must emit the reference's reconstruction scalars for BOTH the train-eval
+split and the held-out test split (reference: run.py:1365-1401 —
+reconstruction/{psnr,ssim,lpips}[_test]_{front,random}; FID variants appear
+only when Inception weights are available)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_use_encoder_emits_recon_and_testset_scalars(monkeypatch, tmp_path):
+    from nerf_from_image_tpu.utils import tb
+
+    recorded = {}
+
+    orig_scalar = tb.Logger.scalar
+
+    def spy_scalar(self, tag, value, step):
+        recorded[tag] = float(value)
+        return orig_scalar(self, tag, value, step)
+
+    monkeypatch.setattr(tb.Logger, "scalar", spy_scalar)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "train.py",
+            "--dataset", "synthetic",
+            "--use_encoder",
+            "--chips", "2",
+            "--batch_size", "2",
+            "--resolution", "16",
+            "--iterations", "4",
+            "--display_every", "4",
+            "--max_images", "8",
+            "--root_path", str(tmp_path),
+            "--sdf_pretrain_steps", "2",
+            "--fine_sampling", "",
+        ],
+    )
+    import train
+
+    train.main()
+
+    # Train-eval split recon scalars (front scored; random scored only
+    # with >1 views/object — synthetic has 1, so random emits no psnr).
+    for tag in (
+        "reconstruction/psnr_front",
+        "reconstruction/ssim_front",
+        "reconstruction/lpips_front",
+    ):
+        assert tag in recorded, sorted(recorded)
+        assert np.isfinite(recorded[tag]), (tag, recorded[tag])
+    # Held-out test split variants (reference run.py:1391-1398).
+    for tag in (
+        "reconstruction/psnr_test_front",
+        "reconstruction/ssim_test_front",
+        "reconstruction/lpips_test_front",
+    ):
+        assert tag in recorded, sorted(recorded)
+        assert np.isfinite(recorded[tag]), (tag, recorded[tag])
+    # No Inception weights in this environment -> no FID scalars.
+    assert "fid" not in recorded

@@ -50,6 +50,7 @@ def main():
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
     args = arguments.parse_args()
+    mesh_mod.maybe_init_multihost(args)
     if args.run_inversion:
         # Reference CLI compatibility: run.py --run_inversion skips GAN
         # training and runs the hybrid-inversion driver (run.py:1743).
@@ -79,13 +80,16 @@ def main():
     checkpoint_dir = os.path.join(args.root_path, "gan_checkpoints",
                                   experiment_name)
 
-    config_ds, train_split, train_eval_split, _ = load_dataset(
+    config_ds, train_split, train_eval_split, test_split = load_dataset(
         args.dataset,
         args.data_path,
         resolution=args.resolution,
         augment_p=args.augment_p,
         use_class=args.use_class,
         max_images=args.max_images,
+        # Encoder-mode training additionally evaluates recon metrics on
+        # the held-out test split (reference: run.py:1391-1398).
+        need_test=bool(args.use_encoder),
     )
 
     if args.perturb_poses > 0:
@@ -333,32 +337,66 @@ def main():
     # checkpoint to enable metric-grade numbers).
     fid_eval = None
     inception_weights = os.environ.get("NFI_INCEPTION_WEIGHTS")
-    if inception_weights and os.path.exists(inception_weights):
+    have_inception = bool(
+        inception_weights and os.path.exists(inception_weights)
+    )
+    # The train-time evaluate() runs whenever FID is possible (Inception
+    # weights present) or encoder-mode recon metrics apply (reference:
+    # run.py:1200-1401 always evaluates; without weights we still emit the
+    # recon PSNR/SSIM/LPIPS scalars, just no FID).
+    if have_inception or args.use_encoder:
         from nerf_from_image_tpu.engine import gan_eval
-        from nerf_from_image_tpu.models.inception import (
-            FIDInceptionV3,
-            inception_state_to_variables,
-        )
-        from nerf_from_image_tpu.utils import torch_interop
         from nerf_from_image_tpu.data.splits import (
             compute_eval_indices,
+            compute_view_perm,
             draw_eval_latents,
         )
 
-        inception = FIDInceptionV3()
-        inc_vars = inception.init(
-            jax.random.key(99), jnp.zeros((1, 64, 64, 3))
-        )
-        inc_vars = inception_state_to_variables(
-            dict(inc_vars),
-            torch_interop.load_torch_checkpoint(inception_weights),
-        )
-        inc_vars = jax.tree.map(jnp.asarray, inc_vars)
-        real_stats = gan_eval.compute_real_fid_stats(
-            inception, inc_vars, train_eval_split.images
-        )
+        inception = None
+        inc_vars = None
+        real_stats = None
+        if have_inception:
+            from nerf_from_image_tpu.models.inception import (
+                FIDInceptionV3,
+                inception_state_to_variables,
+            )
+            from nerf_from_image_tpu.utils import torch_interop
+
+            inception = FIDInceptionV3()
+            inc_vars = inception.init(
+                jax.random.key(99), jnp.zeros((1, 64, 64, 3))
+            )
+            inc_vars = inception_state_to_variables(
+                dict(inc_vars),
+                torch_interop.load_torch_checkpoint(inception_weights),
+            )
+            inc_vars = jax.tree.map(jnp.asarray, inc_vars)
+            real_stats = gan_eval.compute_real_fid_stats(
+                inception, inc_vars, train_eval_split.images
+            )
         eval_indices = compute_eval_indices(train_eval_split)
         z_fid = draw_eval_latents(len(eval_indices), args.latent_dim)
+        # Test-split eval machinery (reference: run.py:479-499 — the test
+        # eval indices, their view permutation, and a second z draw).
+        test_eval_indices = None
+        test_eval_perm = None
+        z_fid_test = None
+        if (
+            args.use_encoder
+            and config_ds.views_per_object_test
+            and test_split is not None
+            and len(test_split)
+        ):
+            test_eval_indices = compute_eval_indices(test_split)
+            test_eval_perm = compute_view_perm(
+                test_eval_indices, config_ds.views_per_object_test
+            )
+            z_fid_test = draw_eval_latents(
+                len(test_eval_perm), args.latent_dim, seed=4322
+            )
+            print(
+                f"Evaluating test set on {len(test_eval_indices)} images"
+            )
         lpips_vars = None
         lpips_model = None
         if args.use_encoder:
@@ -377,17 +415,20 @@ def main():
             gan_eval.make_recon_eval_fn(render_config, model, inception,
                                         inc_vars, lpips_model, lpips_vars)
         )
-        from nerf_from_image_tpu.data.splits import compute_view_perm
-
         eval_perm = compute_view_perm(
             eval_indices, config_ds.views_per_object
         )
 
         def fid_eval(st):
             """Training-time evaluate(): generation FID, or front+random
-            reconstruction metrics in encoder-conditional mode (reference:
-            run.py:1365-1401 — current_fid follows the random-view recon
-            FID when use_encoder)."""
+            reconstruction metrics in encoder-conditional mode — on the
+            train-eval split AND, when the dataset has a registered test
+            split, the held-out test split (reference: run.py:1365-1401;
+            TB scalar names follow the reference:
+            reconstruction/{psnr,ssim,lpips,iou}[_test]_{front,random},
+            reconstruction/fid_{front,random}view, generation/fid_untrunc).
+            current_fid follows the random-view recon FID when
+            use_encoder."""
             variables = {"params": st.params_ema}
             if st.buffers_g:
                 variables["buffers"] = st.buffers_g
@@ -396,36 +437,70 @@ def main():
                     recon_fn, variables, z_fid, train_eval_split,
                     eval_indices, real_stats, use_labels=args.use_class,
                 )
-                return {"fid": r["fid"], "first_batch": r["first_batch"]}
-            rf = gan_eval.evaluate_recon(
-                recon_fn, variables, z_fid, train_eval_split, eval_indices,
-                real_stats, recon_mode="front",
-                views_per_object=config_ds.views_per_object,
-                input_images=train_split.images,
-                use_labels=args.use_class,
+                return {
+                    "fid": r.get("fid"),
+                    "generation/fid_untrunc": r.get("fid"),
+                    "first_batch": r["first_batch"],
+                }
+
+            out = {"first_batch": None, "fid": None}
+
+            def run_mode(split, indices, perm, z, mode, views, inputs,
+                         suffix, with_fid):
+                r = gan_eval.evaluate_recon(
+                    recon_fn, variables, z, split, indices,
+                    real_stats if with_fid else None,
+                    recon_mode=mode,
+                    perm_indices=perm if mode == "random" else None,
+                    views_per_object=views,
+                    input_images=inputs,
+                    use_labels=args.use_class,
+                )
+                for k, v in r.items():
+                    if k in ("first_batch", "n_images", "fid"):
+                        continue
+                    out[f"reconstruction/{k}{suffix}_{mode}"] = v
+                if with_fid and r.get("fid") is not None:
+                    out[f"reconstruction/fid_{mode}view"] = r["fid"]
+                return r
+
+            rf = run_mode(
+                train_eval_split, eval_indices, eval_perm, z_fid, "front",
+                config_ds.views_per_object, train_split.images, "", True,
             )
-            rr = gan_eval.evaluate_recon(
-                recon_fn, variables, z_fid, train_eval_split, eval_indices,
-                real_stats, recon_mode="random", perm_indices=eval_perm,
-                views_per_object=config_ds.views_per_object,
-                input_images=train_split.images,
-                use_labels=args.use_class,
+            rr = run_mode(
+                train_eval_split, eval_indices, eval_perm, z_fid, "random",
+                config_ds.views_per_object, train_split.images, "", True,
             )
-            out = {"fid": rr.get("fid", rf.get("fid")),
-                   "first_batch": rf["first_batch"]}
-            for k, v in rf.items():
-                if k not in ("first_batch", "n_images", "fid"):
-                    out[f"recon_front/{k}"] = v
-            out["recon_front/fid"] = rf.get("fid")
-            for k, v in rr.items():
-                if k not in ("first_batch", "n_images", "fid"):
-                    out[f"recon_random/{k}"] = v
+            out["first_batch"] = rf["first_batch"]
+            # current_fid = random-view recon FID (reference run.py:1393).
+            out["fid"] = rr.get("fid", rf.get("fid"))
+            if test_eval_indices is not None:
+                # Held-out test split, no FID (the reference's testset
+                # evaluate() returns before the FID branch,
+                # run.py:1359-1360).
+                run_mode(
+                    test_split, test_eval_indices, test_eval_perm,
+                    z_fid_test, "front", config_ds.views_per_object_test,
+                    test_split.images, "_test", False,
+                )
+                run_mode(
+                    test_split, test_eval_indices, test_eval_perm,
+                    z_fid_test, "random", config_ds.views_per_object_test,
+                    test_split.images, "_test", False,
+                )
             return out
 
     t_start = time.time()
-    # Loss/eval cadence: every 5000 iterations at the reference scale
-    # (run.py:1192-1198), denser for short runs so they stay observable.
-    display_every = min(5000, max(50, args.iterations // 10))
+    # Cadences follow the reference's split (run.py:1192-1198, 518): loss
+    # curves/console every ~1k iterations, eval + checkpoint_latest every
+    # 5k — decoupled so short runs print often without churning eval or
+    # checkpoint_latest frequency. Both densify for short runs so they
+    # stay observable.
+    display_every = args.display_every or min(
+        5000, max(50, args.iterations // 10)
+    )
+    print_every = min(1000, max(10, args.iterations // 40))
     # best_fid survives restarts (the reference restores it from the
     # checkpoint, run.py:900-901; a sidecar avoids checkpoint-layout churn).
     import json as _json
@@ -459,7 +534,11 @@ def main():
                     state, host_batch(4 * i, True),
                     host_batch(4 * i + 1, False), k, rb2, fb2,
                 )
-            if i == 3 or (i + 1) % display_every == 0:
+            if (
+                i == 3
+                or (i + 1) % print_every == 0
+                or (i + 1) % display_every == 0
+            ):
                 m = {k_: float(v) for k_, v in metrics.items()}
                 imps = args.batch_size * (i + 1 - start_iter) / (
                     time.time() - t_start
@@ -470,11 +549,13 @@ def main():
                 if (i + 1) % display_every == 0:
                     if fid_eval is not None:
                         fid_m = fid_eval(state)
-                        print(f"[{i}] FID {fid_m['fid']:.2f}")
-                        writer.scalar("fid", fid_m["fid"], i)
+                        if fid_m.get("fid") is not None:
+                            print(f"[{i}] FID {fid_m['fid']:.2f}")
+                            writer.scalar("fid", fid_m["fid"], i)
                         for mk, mv in fid_m.items():
-                            if mk.startswith("recon_") and mv is not None:
-                                writer.scalar(mk, mv, i)
+                            if mk in ("fid", "first_batch") or mv is None:
+                                continue
+                            writer.scalar(mk, mv, i)
                         fb = fid_m.get("first_batch") or {}
                         # Eval image grids (reference: run.py:1296-1330).
                         if "rgb" in fb:
@@ -490,7 +571,9 @@ def main():
                             writer.images(
                                 "img/eval_mask", fb["mask"][..., None], i
                             )
-                        if fid_m["fid"] < best_fid:
+                        if fid_m.get("fid") is not None and fid_m[
+                            "fid"
+                        ] < best_fid:
                             # Reference keeps a best-FID checkpoint
                             # (run.py:1495-1516).
                             best_fid = fid_m["fid"]

@@ -41,6 +41,7 @@ def main():
     from nerf_from_image_tpu.utils import checkpoint as ckpt
 
     args = arguments.parse_args()
+    mesh_mod.maybe_init_multihost(args)
     if args.dataset == "autodetect":
         # Dataset from the checkpoint name (reference: run.py:62-64).
         from nerf_from_image_tpu.data.loaders import autodetect_dataset
