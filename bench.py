@@ -38,6 +38,22 @@ RES = 128
 SAMPLES = 64
 ITERS = 8
 
+# TPU compiler options for the primary configuration (measured sweep:
+# scripts/bench_step_config.py, 2026-08-21):
+# - The splat-enabled full-gradient step lowers to 10.55 GiB of XLA temps
+#   by default; this axon worker OOM-kills (instead of raising
+#   RESOURCE_EXHAUSTED) above ~10.3 GiB peak. Capping the TPU
+#   rematerialization budget at 63% of HBM makes the compiler remat the
+#   step to 9.65 GiB — at which point remat is no longer even binding
+#   (63% and 64% produce identical plans).
+# - Raising the scoped-VMEM budget from the default to ~88 MiB lets
+#   memory-space-assignment keep the per-batch-element gather tables
+#   (16.8 MiB each) VMEM-resident: 196k vs 179k rays/s.
+_COMPILER_OPTIONS = {
+    "xla_jf_rematerialization_percent_shared_memory_limit": "63",
+    "xla_tpu_scoped_vmem_limit_kib": "90112",
+}
+
 
 def main():
     from nerf_from_image_tpu.engine.render import RenderConfig, render
@@ -48,12 +64,16 @@ def main():
     )
     # Production perf configuration: bf16 triplane gather tables (the
     # dominant HBM cost; golden-tested against the f32 path within
-    # tolerance — tests/test_triplane_packed.py). query_chunk=None stores
-    # the bf16 gather residuals instead of rematerializing them — at bench
-    # shapes they fit HBM and the backward skips the second gather pass
-    # (+11% — scripts/bench_sweep.py); the chunked config is the fallback
-    # for smaller-memory parts. Strict-f32 parity mode (plane_dtype=None)
-    # measures ~0.60x of this.
+    # tolerance — tests/test_triplane_packed.py), unchunked queries, and
+    # the Pallas ray-coherent windowed-splat backward for the triplane
+    # sampling (ops/pallas/splat.py; tests/test_splat.py) with full
+    # (ws AND pose) gradients. The (128,128) window keeps BOTH passes on
+    # the kernel's fast branch — the coarse pass's stratified blocks have
+    # much larger plane footprints than the surface-clustered fine
+    # samples, and a (128,64) window silently routed the whole coarse
+    # splat to the scatter fallback (profiled: 232 ms/step of hidden
+    # fallback). Strict-f32 parity mode (plane_dtype=None) measures
+    # ~0.60x of the bf16 scatter path.
     config = RenderConfig(
         resolution=RES,
         depth_samples_per_ray=SAMPLES,
@@ -62,17 +82,17 @@ def main():
         white_background=False,
         plane_dtype="bfloat16",
         query_chunk=None,
-        # plane_splat=True enables the round-3 Pallas windowed-splat
-        # backward (ops/pallas/splat.py; 3.4x the XLA scatter it replaces,
-        # measured standalone at bench shapes in scripts/bench_splat.py).
-        # Disabled pending an axon-platform workaround: a pallas VMEM-block
-        # output >= ~1MB embedded in a large XLA program crashes the TPU
-        # worker on this tunnel (bisected in scripts/bench_splat.py notes;
-        # HBM-space outputs via explicit DMA are the fix in progress).
-        plane_splat=False,
+        plane_splat=True,
+        splat_block=(16, 16, 4),
+        splat_window=(128, 128),
     )
-    fallback_config = dataclasses.replace(
-        config, query_chunk=131072, plane_splat=False
+    # Fallback: the round-3 configuration (XLA scatter backward, unchunked
+    # bf16) — known-good on this worker at 10.26 GiB temps / 106.9k rays/s.
+    fallback_config = dataclasses.replace(config, plane_splat=False)
+    # Last-resort fallback: rematerialized chunks bound the memory for
+    # smaller-HBM parts.
+    fallback2_config = dataclasses.replace(
+        fallback_config, query_chunk=131072
     )
     variables = jax.jit(lambda k: model.init(k, method="init_all"))(
         jax.random.key(0)
@@ -92,14 +112,19 @@ def main():
     focal = jnp.full((BATCH,), 1.2)
     ws = jax.random.normal(jax.random.key(1), (BATCH, model.num_ws, 512)) * 0.1
 
-    def make_step(cfg):
+    def make_step(cfg, compiler_options=None):
         def loss_fn(ws, pose):
             out, _ = render(cfg, model, variables, pose, focal, ws)
             return jnp.sum(jnp.square(out.rgb)) + jnp.sum(
                 jnp.square(out.mask)
             )
 
-        return jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+        step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+        if compiler_options:
+            return step.lower(ws, pose).compile(
+                compiler_options=compiler_options
+            )
+        return step
 
     def force(out):
         # On the axon TPU platform block_until_ready returns before
@@ -109,25 +134,32 @@ def main():
         leaf = jax.tree.leaves(out)[0]
         np.asarray(jax.device_get(leaf.ravel()[0:1]))
 
-    # Warmup / compile; fall back to rematerialized chunks if the
-    # unchunked residuals exceed this part's HBM. The fallback is loudly
+    # Warmup / compile; fall back through the known-good configurations if
+    # the primary one exceeds this part's HBM. Fallbacks are loudly
     # reported on stderr so a silently degraded primary config can't
     # masquerade as the headline number.
-    step = make_step(config)
-    try:
-        g = step(ws, pose)
-        force(g)
-    except Exception as e:
-        import sys
+    candidates = [
+        ("splat+copts", config, _COMPILER_OPTIONS),
+        ("scatter-unchunked", fallback_config, None),
+        ("scatter-chunked", fallback2_config, None),
+    ]
+    step = None
+    for i, (name, cfg, copts) in enumerate(candidates):
+        try:
+            step = make_step(cfg, copts)
+            g = step(ws, pose)
+            force(g)
+            break
+        except Exception as e:
+            import sys
 
-        print(
-            f"bench: query_chunk=None failed ({type(e).__name__}); "
-            f"falling back to query_chunk={fallback_config.query_chunk}",
-            file=sys.stderr,
-        )
-        step = make_step(fallback_config)
-        g = step(ws, pose)
-        force(g)
+            if i == len(candidates) - 1:
+                raise
+            print(
+                f"bench: config '{name}' failed ({type(e).__name__}); "
+                f"falling back to '{candidates[i + 1][0]}'",
+                file=sys.stderr,
+            )
 
     t0 = time.perf_counter()
     for _ in range(ITERS):

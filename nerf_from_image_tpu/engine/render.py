@@ -70,6 +70,10 @@ class RenderConfig:
     plane_splat: bool = False
     splat_block: Tuple[int, int, int] = (16, 16, 4)
     splat_window: Tuple[int, int] = (128, 64)
+    # Store the splat backward's dcoord residuals (fastest) vs re-gather
+    # them in the backward (saves ~1.6 GB/pass of HBM at bench shapes —
+    # what lets the unchunked full-gradient splat step fit a v5e at B=4).
+    splat_save_rows: bool = True
     # How the coarse and fine passes are combined:
     #   'pairwise' — sort-free dual-list compositing (all-pairs masked
     #     reductions; no argsort, no 2S-permutation gather, no backward
@@ -185,6 +189,7 @@ def render_field(
                 config.splat_block,
                 config.splat_window[0],
                 config.splat_window[1],
+                config.splat_save_rows,
             )
         chunk = config.query_chunk
         if chunk and n_points > chunk:
@@ -216,7 +221,15 @@ def render_field(
                     config.splat_block,
                     config.splat_window[0],
                     config.splat_window[1],
+                    config.splat_save_rows,
                 )
+            # splat_spec is only passed when set so plain
+            # field_fn(points, outputs[, emb]) callables keep working.
+            spec_kw = (
+                {"splat_spec": chunk_splat_spec}
+                if chunk_splat_spec is not None
+                else {}
+            )
             flat_p = (
                 jnp.pad(flat, ((0, 0), (0, pad), (0, 0))) if pad else flat
             )
@@ -232,8 +245,7 @@ def render_field(
                 out = jax.lax.map(
                     jax.checkpoint(
                         lambda pe: field_fn(
-                            pe[0], requests, pe[1],
-                            splat_spec=chunk_splat_spec,
+                            pe[0], requests, pe[1], **spec_kw
                         )
                     ),
                     (chunked, emb_c),
@@ -241,9 +253,7 @@ def render_field(
             else:
                 out = jax.lax.map(
                     jax.checkpoint(
-                        lambda p: field_fn(
-                            p, requests, splat_spec=chunk_splat_spec
-                        )
+                        lambda p: field_fn(p, requests, **spec_kw)
                     ),
                     chunked,
                 )
@@ -254,9 +264,15 @@ def render_field(
                 for k, v in out.items()
             }
         elif emb is not None:
-            out = field_fn(flat, requests, emb, splat_spec=splat_spec)
+            if splat_spec is not None:
+                out = field_fn(flat, requests, emb, splat_spec=splat_spec)
+            else:
+                out = field_fn(flat, requests, emb)
         else:
-            out = field_fn(flat, requests, splat_spec=splat_spec)
+            if splat_spec is not None:
+                out = field_fn(flat, requests, splat_spec=splat_spec)
+            else:
+                out = field_fn(flat, requests)
         per_sample = {}
         n_samples = points.shape[-2]
         for k, v in out.items():

@@ -240,9 +240,12 @@ class TriplanarDecoder(nn.Module):
                 triplane_sample_mean,
             )
 
-            img_shape, table_dtype, block_shape, WY, WX = splat_spec
+            img_shape, table_dtype, block_shape, WY, WX, save_rows = (
+                splat_spec
+            )
             x = triplane_sample_mean(
-                planes, coords, img_shape, table_dtype, block_shape, WY, WX
+                planes, coords, img_shape, table_dtype, block_shape, WY,
+                WX, save_rows,
             )
             splat_dtype = (
                 jnp.bfloat16 if table_dtype == "bfloat16" else None

@@ -1,65 +1,87 @@
 """Pallas TPU kernels.
 
-Round 3 ships the first real kernel: ops/pallas/splat.py — the backward
-of triplane bilinear sampling as a ray-coherent windowed-matmul splat
-(see its module docstring for the algorithm). Measured on the v5e at
-bench shapes (scripts/bench_splat.py): the fused 3-plane kernel covers
-one full render pass in ~67 ms vs ~3 x 76 ms for the XLA scatter-adds it
-replaces — 3.4x on the op that was 51% of the round-2 step. Exactness vs
-the scatter reference: ~2e-7 rel (f32), ~4e-3 (bf16 — and the kernel
-accumulates in f32 where the old path accumulated in bf16).
+ops/pallas/splat.py — the backward of triplane bilinear sampling as a
+ray-coherent windowed-matmul splat (see its module docstring for the
+algorithm). As of round 4 the kernel SHIPS in bench.py's primary
+configuration with full (ws, pose) gradients, unchunked, at B=4:
+196,489 rays/s vs the round-3 scatter path's 106,900 (1.84x; 16.74x the
+round-1 fixed baseline). Everything below is the measured story of how,
+superseding the round-2/3 memos.
 
-Two round-2 conclusions in the old memo are now CORRECTED:
+One truth about the round-3 "crash": it was the worker's OOM behavior.
+jit(...).compile().memory_analysis() on the bench step: scatter backward
+10.26 GiB temps / 10.29 peak — runs; splat full-gradient 10.55 GiB /
+10.39 peak — killed the worker. Every configuration above ~10.3 GiB peak
+dies (the axon tunnel kills the TPU worker instead of raising
+RESOURCE_EXHAUSTED); everything below runs. The kernel itself was always
+sound in context.
 
-* "VMEM is ~16 MB (16 MB scratch does not compile)" — that was only the
-  compiler's default scoped cap. pltpu.CompilerParams(vmem_limit_bytes=
-  100MB) compiles and runs; a direct probe allocates 120 MB of VMEM
-  scratch successfully. This is what makes full-plane-gradient VMEM
-  accumulators ([3, 256, 256*32] f32 = 25 MB) viable.
-* "revisit only with an algorithmic reduction in scatter rows" — done:
-  the windowed splat reduces dynamically-addressed rows by ~P (block
-  size) per window store, exactly the lever the memo said was untried.
+What fixed it (scripts/bench_step_config.py, all measured on the v5e):
 
-Outstanding platform issue (measured by bisection, scripts history in
-git): on the axon-tunneled TPU, a pallas_call whose OUTPUT uses the
-VMEM-block pipeline with blocks >= ~1 MB crashes the remote TPU worker
-when the call is embedded in a large XLA program (standalone runs are
-fine; a no-op kernel body with such outputs still crashes; a 4 KB output
-is fine; HBM-space outputs written by explicit pltpu.make_async_copy
-from VMEM scratch work even at 64 MB). splat.py therefore writes its
-outputs via memory_space=ANY + DMA flush.
+* Compiler remat budget. XLA:TPU's rematerialization pass normalizes
+  memory plans: storing vs re-gathering the dcoord residuals
+  (splat_save_rows) produces DIFFERENT HLO but the IDENTICAL 10.39 GiB
+  plan. Passing xla_jf_rematerialization_percent_shared_memory_limit=63
+  makes the compiler remat the step to 9.65 GiB — and at that point the
+  budget is not even binding (63 and 64 produce identical plans; 64+
+  overshoots the kill line and dies). No measurable remat penalty
+  remains in the final configuration.
+* Window (128,128), block (16,16,4). The fine pass (surface-clustered
+  samples) fits a (128,64) window at ~99%; the COARSE pass's stratified
+  blocks span whole ray segments and overflow it (~6% of blocks — right
+  at the misfit budget), which silently routed the whole coarse splat
+  through the full-scatter fallback branch: 232 ms/step of hidden
+  scatter in the profile. At (128,128) both passes stay on the fast
+  branch (kernel ~40 ms/pass in context; per-pass misfits ~1%,
+  residual-scattered within budget).
+* Per-batch gather tables + scoped VMEM. The batch-flattened packed
+  table ([B*H*W, 4C] bf16 = 67 MiB) is too big for memory-space-
+  assignment to pin, and an HBM-resident-table gather runs at ~47
+  Mrows/s vs ~260 Mrows/s VMEM-resident (profiled: 89 vs 15.6 ms for a
+  4.2M-row pass). Splitting the forward's gathers per batch element
+  (16.8 MiB tables — ops/triplane.sample_packed_with_rows
+  per_batch_gather=True) and raising xla_tpu_scoped_vmem_limit_kib to
+  90112 gets the tables pinned: 179k -> 196k rays/s. The sweep
+  plateaus at 84-92 MiB; 104+ MiB and 32 MiB crash or regress.
 
-Round-3 isolation of the residual in-context crash (/tmp bisect scripts,
-each stage run as its own TPU process):
+Chunked-splat (the round-3 "production route") was measured end-to-end
+and is NOT a perf path: 94.0k (16-row chunks) / 104.0k (32-row) / 77.9k
+(64-row) rays/s — all below the 106.9k scatter baseline, because
+jax.checkpoint's re-execution of the forward gathers dominates. It
+remains correct and memory-lean (2.9-4.4 GiB temps) and is kept solely
+as the fallback for smaller-HBM parts.
 
-* bench step, splat, query_chunk=None, grads wrt ws ONLY  -> runs,
-  125,985 rays/s (vs 106.8k round-2 scatter baseline).
-* same, grads wrt pose ONLY (splat kernel DCE'd)          -> runs, 264k.
-* same, grads wrt (ws, pose), B=2                         -> runs, 88.9k
-  (at half batch).
-* same, grads wrt (ws, pose), B=4                         -> crashes the
-  worker at first execution.
+Post-splat roofline at the shipped 333 ms step: the 6 mandatory per-pass
+row gathers (3 planes x coarse+fine x 4.19M rows) floor the step at
+~97 ms at the 260 Mrows/s VMEM gather wall; the splat windows add
+~80 ms of MXU contraction ([WY,P]x[P,WX*C] per block). The residual
+~155 ms is blocked transposes, per-sample compositing/sample_pdf work,
+remat re-execution, and DMA — profiled per-op in scripts/profile_trace.py
+(no single item above 25 ms/step remains).
 
-jit(...).compile().memory_analysis() temp sizes: scatter B=4 full
-10.26 GB (runs), splat ws-only 6.98 GB (runs), splat full 10.55 GB
-(crashes). Every crashing configuration sits above ~10.3 GB of XLA temps
-and every running one below — i.e. the "crash" is this worker's
-out-of-memory behavior (the axon tunnel kills the worker instead of
-raising RESOURCE_EXHAUSTED), with ~10.3-10.5 GB of the 16 GB HBM usable
-for temps. The kernel itself is sound in-context.
+Numerics: the splat accumulates in f32 where the scatter path it
+replaced accumulated in bf16 (strictly better conditioned); exactness vs
+the scatter reference ~2e-7 rel (f32 tables), ~4e-3 (bf16). All
+kernel-correctness claims are green in tests/test_splat.py (CPU
+interpret; 10/10 including the chunked and unchunked render-equivalence
+tests). The chunked render-equivalence test compares at knife-edge-free
+AABB geometry — at exact-face geometry the clip kink's subgradient
+convention legitimately differs between independently compiled CPU
+programs (+-1e-2 swing, bracketed in the test file's _SR_INNER note);
+the TPU programs agree at ~2e-7 either way.
 
-Consequence: plane_splat is also wired into the CHUNKED query path
-(engine/render.py chunk_splat_spec) — a chunk that is a whole number of
-image rows is itself a ray-coherent tile, so the windowed splat applies
-per chunk while jax.checkpoint keeps the chunked path's memory bound
-(residuals rematerialized). That configuration fits HBM at B=4 with full
-gradients. All kernel-correctness claims above are green in
-tests/test_splat.py (CPU interpret, incl. the chunked-splat render
-equivalence) and scripts/bench_splat.py (TPU).
+VMEM facts (round-3, still valid): pltpu.CompilerParams
+(vmem_limit_bytes=100MB) compiles and runs — the 16 MB "limit" round 2
+measured was only the compiler's default scoped cap. Full-plane-gradient
+VMEM accumulators ([3, 256, 256*32] f32 = 25 MB) are resident across a
+batch element's grid steps. Outputs are written via memory_space=ANY +
+explicit DMA flush: on this platform a pallas VMEM-block output >= ~1 MB
+inside a large XLA program crashes the worker (bisected in round 3;
+HBM-space outputs via pltpu.make_async_copy are solid at any size).
 
 Older round-2 measurements (still valid): forward gather row-rate wall
-~300 Mrows/s (bf16), XLA scatter flat at ~57-68 Mrows/s regardless of
-index order/dtype/dedup, compositing/sample_pdf rewritten as masked
-reductions at noise level, corner-FMA bf16 keeping 89.7k -> 106.8k
-rays/s fwd+bwd.
+~300 Mrows/s (bf16, VMEM-resident tables), XLA scatter flat at ~57-68
+Mrows/s regardless of index order/dtype/dedup, compositing/sample_pdf
+rewritten as masked reductions at noise level, corner-FMA bf16 keeping
+89.7k -> 106.8k rays/s fwd+bwd.
 """

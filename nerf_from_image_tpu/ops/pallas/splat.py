@@ -273,7 +273,7 @@ def splat3_blocks(
             ),
         ],
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(3)
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(3)
         ),
         scratch_shapes=[
             pltpu.VMEM((3, H, W * C), jnp.float32),
@@ -700,7 +700,7 @@ def triplane_splat_grads(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def triplane_sample_mean(
     planes: jnp.ndarray,
     coords3: jnp.ndarray,
@@ -709,6 +709,7 @@ def triplane_sample_mean(
     block_shape: Tuple[int, int, int] = (16, 16, 4),
     WY: int = 128,
     WX: int = 64,
+    save_rows: bool = True,
 ) -> jnp.ndarray:
     """Mean of the three bilinearly-sampled triplane features.
 
@@ -718,7 +719,7 @@ def triplane_sample_mean(
 
     Backward: plane gradients via the ray-coherent Pallas windowed splat
     (triplane_splat_grads) instead of XLA's row-rate-bound scatter-add;
-    coordinate gradients analytically from the saved corner rows.
+    coordinate gradients analytically from the gathered corner rows.
 
     First-order only: the bwd is not differentiable — double-backward
     paths (eikonal and other regularizers) use the grid_sample route,
@@ -731,14 +732,23 @@ def triplane_sample_mean(
       img_shape: (Himg, Wimg, S) ray-grid structure of the points.
       table_dtype: 'bfloat16' for the production gather tables, None for
         strict f32.
+      save_rows: True stores the pre-contracted dcoord residuals
+        ([B*N, 2C] per plane — the fastest backward, +1.6 GB/pass of HBM
+        at bench shapes); False stores only the corner-packed table
+        (~33 MB) and RE-GATHERS the rows in the backward — this is what
+        lets the full-gradient unchunked splat step fit v5e HBM at B=4
+        (10.55 -> ~7.4 GB temps; see ops/pallas/__init__.py).
     """
     out, _ = _tsm_fwd(
-        planes, coords3, img_shape, table_dtype, block_shape, WY, WX
+        planes, coords3, img_shape, table_dtype, block_shape, WY, WX,
+        save_rows,
     )
     return out
 
 
-def _tsm_fwd(planes, coords3, img_shape, table_dtype, block_shape, WY, WX):
+def _tsm_fwd(
+    planes, coords3, img_shape, table_dtype, block_shape, WY, WX, save_rows
+):
     from nerf_from_image_tpu.ops.triplane import (
         pack_corners,
         plane_coords,
@@ -752,13 +762,18 @@ def _tsm_fwd(planes, coords3, img_shape, table_dtype, block_shape, WY, WX):
     us = []
     es = []
     for k, c2 in enumerate((c_xy, c_xz, c_yz)):
-        e, rows = sample_packed_with_rows(packed[:, k], c2)
+        e, rows = sample_packed_with_rows(
+            packed[:, k], c2, per_batch_gather=True
+        )
         es.append(e)
-        us.append(_make_dcoord_residual(rows, c2, H, W))
+        if save_rows:
+            us.append(_make_dcoord_residual(rows, c2, H, W))
     out = (es[0] + es[1] + es[2]) / 3.0
     # Zero-size token carrying the plane shape/dtype into the bwd.
     shape_token = jnp.zeros(planes.shape[:-1] + (0,), planes.dtype)
-    return out, (coords3, tuple(us), shape_token)
+    if save_rows:
+        return out, (coords3, tuple(us), shape_token, None)
+    return out, (coords3, None, shape_token, packed)
 
 
 def _make_dcoord_residual(rows, coords2, H, W):
@@ -830,11 +845,32 @@ def _coord_grad_1plane(u, coords2, g, H, W):
     return jnp.stack((dx, dy), axis=-1)
 
 
-def _tsm_bwd(img_shape, table_dtype, block_shape, WY, WX, res, g_mean):
-    from nerf_from_image_tpu.ops.triplane import plane_coords
+def _tsm_bwd(
+    img_shape, table_dtype, block_shape, WY, WX, save_rows, res, g_mean
+):
+    from nerf_from_image_tpu.ops.triplane import (
+        plane_coords,
+        sample_packed_with_rows,
+    )
 
-    coords3, (u1, u2, u3), shape_token = res
+    coords3, us, shape_token, packed = res
     Bp, three, H, W, _ = shape_token.shape
+    if us is None:
+        # save_rows=False: rebuild the dcoord residuals by re-gathering
+        # the corner rows from the saved packed table (bit-identical to
+        # the forward's gathers — same helper, same inputs).
+        us = tuple(
+            _make_dcoord_residual(
+                sample_packed_with_rows(
+                    packed[:, k], c2, per_batch_gather=True
+                )[1],
+                c2,
+                H,
+                W,
+            )
+            for k, c2 in enumerate(plane_coords(coords3))
+        )
+    u1, u2, u3 = us
     C = u1.shape[-1] // 4
     g = (g_mean / 3.0).astype(jnp.float32)
 

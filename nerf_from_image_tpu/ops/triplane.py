@@ -35,14 +35,25 @@ def pack_corners(plane: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate((plane, right, down, down_right), axis=-1)
 
 
-def sample_packed_with_rows(packed: jnp.ndarray, coords: jnp.ndarray):
+def sample_packed_with_rows(
+    packed: jnp.ndarray, coords: jnp.ndarray, per_batch_gather: bool = False
+):
     """sample_packed, also returning the gathered corner rows.
 
     The rows ([B*N, 4C], table dtype) are the residuals the fused-splat
     backward needs to form coordinate gradients without re-gathering
     (ops/pallas/splat.triplane_sample_mean).
+
+    per_batch_gather=True issues one gather per batch element instead of
+    one gather over the batch-flattened table: the per-element table
+    ([H*W, 4C] = 16.8 MB at 256^2/C32 in bf16) fits the VMEM prefetch
+    budget of XLA's memory-space-assignment pass, which runs such
+    gathers ~6x faster than HBM-resident-table gathers (measured on v5e:
+    15.6 vs 89 ms for 4.2M rows; the batch-flattened 67 MB table is too
+    big to pin). Used by the fused-splat path, where the gathers
+    dominate the remaining step time.
     """
-    return _sample_packed_impl(packed, coords)
+    return _sample_packed_impl(packed, coords, per_batch_gather)
 
 
 def sample_packed(packed: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -67,7 +78,9 @@ def sample_packed(packed: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return _sample_packed_impl(packed, coords)[0]
 
 
-def _sample_packed_impl(packed: jnp.ndarray, coords: jnp.ndarray):
+def _sample_packed_impl(
+    packed: jnp.ndarray, coords: jnp.ndarray, per_batch_gather: bool = False
+):
     B, H, W, C4 = packed.shape
     C = C4 // 4
     ix = jnp.clip((coords[..., 0] + 1.0) * 0.5 * (W - 1), 0.0, W - 1.0)
@@ -81,12 +94,27 @@ def _sample_packed_impl(packed: jnp.ndarray, coords: jnp.ndarray):
 
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
-    flat = packed.reshape(B * H * W, C4)
-    batch_offset = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
-    idx = (y0 * W + x0 + batch_offset).reshape(-1)
     # mode='clip': indices are in-bounds by construction; the default 'fill'
     # mode materializes a broadcast+select pass over the gathered rows.
-    rows = jnp.take(flat, idx, axis=0, mode="clip")
+    if per_batch_gather and B > 1:
+        idx_local = y0 * W + x0  # [B, N]
+        rows = jnp.concatenate(
+            [
+                jnp.take(
+                    packed[b].reshape(H * W, C4),
+                    idx_local[b],
+                    axis=0,
+                    mode="clip",
+                )
+                for b in range(B)
+            ],
+            axis=0,
+        )
+    else:
+        flat = packed.reshape(B * H * W, C4)
+        batch_offset = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
+        idx = (y0 * W + x0 + batch_offset).reshape(-1)
+        rows = jnp.take(flat, idx, axis=0, mode="clip")
     fma_dtype = rows.dtype if rows.dtype == jnp.bfloat16 else coords.dtype
     if rows.dtype != fma_dtype:
         rows = rows.astype(fma_dtype)

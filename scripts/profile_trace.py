@@ -1,7 +1,9 @@
 """Op-level trace of the bench step: capture a jax.profiler trace on the
 real TPU and aggregate device-op durations by fusion name.
 
-Run: python scripts/profile_trace.py [out_dir]
+Run: python scripts/profile_trace.py [out_dir] [key=value ...]
+Options (same meaning as scripts/bench_step_config.py): splat=0|1
+chunk=N|none save_rows=0|1 rematpct=N|none
 """
 
 import collections
@@ -21,12 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_step():
-    import dataclasses
-
+def build_step(opts=None):
     from nerf_from_image_tpu.engine.render import RenderConfig, render
     from nerf_from_image_tpu.models.generator import Generator
 
+    opts = opts or {}
+    chunk = opts.get("chunk", "none")
     BATCH, RES, SAMPLES = 4, 128, 64
     model = Generator(
         latent_dim=512, scene_range=1.4, attention_values=10, use_sdf=True
@@ -38,7 +40,15 @@ def build_step():
         scene_range=1.4,
         white_background=False,
         plane_dtype="bfloat16",
-        query_chunk=None,
+        query_chunk=None if chunk == "none" else int(chunk),
+        plane_splat=opts.get("splat", "0") == "1",
+        splat_save_rows=opts.get("save_rows", "1") == "1",
+        splat_block=tuple(
+            int(x) for x in opts.get("block", "16,16,4").split(",")
+        ),
+        splat_window=tuple(
+            int(x) for x in opts.get("window", "128,64").split(",")
+        ),
     )
     variables = jax.jit(lambda k: model.init(k, method="init_all"))(
         jax.random.key(0)
@@ -62,6 +72,15 @@ def build_step():
         return jnp.sum(jnp.square(out.rgb)) + jnp.sum(jnp.square(out.mask))
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+    rematpct = opts.get("rematpct", "none")
+    if rematpct != "none":
+        step = step.lower(ws, pose).compile(
+            compiler_options={
+                "xla_jf_rematerialization_percent_shared_memory_limit": (
+                    rematpct
+                )
+            }
+        )
     return step, ws, pose
 
 
@@ -71,8 +90,16 @@ def force(out):
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace"
-    step, ws, pose = build_step()
+    args = sys.argv[1:]
+    out_dir = "/tmp/jax_trace"
+    opts = {}
+    for a in args:
+        if "=" in a:
+            k, _, v = a.partition("=")
+            opts[k] = v
+        else:
+            out_dir = a
+    step, ws, pose = build_step(opts)
     force(step(ws, pose))  # compile + warmup
 
     jax.profiler.start_trace(out_dir)
