@@ -181,6 +181,16 @@ def reproject_depth(depth: np.ndarray, K: np.ndarray,
 
     Returns the [S, S] sparse z-buffer depth at the perturbed view (0
     where no LiDAR point lands); nearer points win contended pixels.
+
+    Occlusion approximation: only inter-point z-contention is resolved.
+    A LiDAR point visible at the original view but occluded by the object
+    at the perturbed view is still emitted and will be compared against
+    the rendered (near-surface) depth, biasing depth_error_random upward.
+    For sparse automotive LiDAR on a single convex-ish vehicle this is
+    rare (points live on the visible surface; a perturbed camera mostly
+    re-sees the same surface), and it matches the fitted~=true-camera
+    approximation documented at the call site — both errors are shared
+    by any baseline evaluated under the same protocol.
     """
     S = depth.shape[0]
     r, c = np.nonzero(depth > 0)
@@ -199,11 +209,16 @@ def reproject_depth(depth: np.ndarray, K: np.ndarray,
     q = M @ np.stack([X, Y, Z, np.ones_like(d)], axis=0)
     zb = -q[2]
     keep = zb > 1e-6
-    col = np.floor((f * q[0] / np.maximum(zb, 1e-6) + cx) * S).astype(
+    # Round to the NEAREST grid sample: the forward ray grid samples at
+    # exactly col/S - cx (ops/rays.py get_ray_bundle), so the exact
+    # inverse of a grid-aligned point is an integer — floor() would add
+    # an up-to-one-pixel systematic shift that inflates
+    # depth_error_random.
+    col = np.floor((f * q[0] / np.maximum(zb, 1e-6) + cx) * S + 0.5).astype(
         np.int64
     )
     row = np.floor(
-        (f * (-q[1]) / np.maximum(zb, 1e-6) + cy) * S
+        (f * (-q[1]) / np.maximum(zb, 1e-6) + cy) * S + 0.5
     ).astype(np.int64)
     keep &= (col >= 0) & (col < S) & (row >= 0) & (row < S)
     order = np.argsort(-zb[keep])
@@ -308,6 +323,7 @@ def main():
         plane_dtype=None
         if args.plane_dtype == "float32"
         else args.plane_dtype,
+        plane_splat=args.plane_splat,
         merge_mode=args.merge_mode,
         zbuffer_depth=True,
     )

@@ -15,6 +15,10 @@ def main(path: str):
     data = np.load(path)
     by_step = {}
     for key in data.files:
+        if "/" not in key:  # e.g. the __metric_notes__ sidecar entry
+            if key == "__metric_notes__":
+                print(f"notes: {data[key]}")
+            continue
         step_str, metric = key.split("/", 1)
         by_step.setdefault(step_str, {})[metric] = data[key]
     for step in sorted(by_step, key=lambda s: int(s.replace("step", ""))):

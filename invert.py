@@ -196,6 +196,7 @@ def main():
         plane_dtype=None
         if args.plane_dtype == "float32"
         else args.plane_dtype,
+        plane_splat=args.plane_splat,
         merge_mode=args.merge_mode,
     )
 
@@ -292,10 +293,26 @@ def main():
     )
     report = eval_mod.InversionReport(checkpoint_steps, metric_notes)
     resume_idx = 0
-    if not demo_mode and os.path.exists(report_ckpt_prefix + ".npz"):
+    from nerf_from_image_tpu.utils import fileio
+
+    if not demo_mode and fileio.file_exists(report_ckpt_prefix + ".npz"):
         # Resumable reports (reference: run.py:1858-1871, 2329-2336).
         report = eval_mod.InversionReport.load(report_ckpt_prefix)
-        report.metric_notes = metric_notes
+        # Merge notes, keeping the stricter (present) one when the saved
+        # run's environment disagrees with this one: a report that
+        # accumulated ANY random-feature LPIPS rows must keep that stamp
+        # even if NFI_LPIPS_WEIGHTS is set on resume (and vice versa the
+        # current environment's stamp is added for the rows to come).
+        for pfx, note in metric_notes.items():
+            old = report.metric_notes.get(pfx)
+            if old and old != note:
+                note = f"{old} + resumed with {note}"
+            report.metric_notes[pfx] = note
+        for pfx, old in list(report.metric_notes.items()):
+            if pfx not in metric_notes and "resumed" not in old:
+                report.metric_notes[pfx] = (
+                    f"{old} (mixed: resumed at metric grade)"
+                )
         resume_idx = report.num_samples()
         print(f"Resuming inversion report at image {resume_idx}")
     # Reference inversion batch: batch_size // 4 per device

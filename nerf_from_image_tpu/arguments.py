@@ -125,6 +125,20 @@ def parse_args(argv=None):
                         help="Storage dtype of the gathered triplane tables"
                         " (bfloat16 is ~1.4x faster end-to-end on TPU; all"
                         " surrounding arithmetic stays float32)")
+    parser.add_argument("--plane_splat", type=bool_flag, default=False,
+                        help="Route triplane-sampling backwards through the"
+                        " Pallas ray-coherent windowed-splat kernel"
+                        " (ops/pallas/splat.py). First-order paths only"
+                        " (inversion/eval renders — the render backward"
+                        " dominates those); training G-steps keep the"
+                        " XLA grid-sample path because the eikonal/R1"
+                        " regularizers need double-backward, the same"
+                        " split the reference makes with"
+                        " requires_double_backward"
+                        " (models/generator.py:306-311). Fastest with"
+                        " --query_chunk 0 (unchunked) when HBM allows;"
+                        " with chunking the splat applies per ray-"
+                        "coherent chunk under rematerialization.")
     parser.add_argument("--merge_mode", type=str, default="pairwise",
                         choices=["pairwise", "sort"],
                         help="Coarse+fine combination: sort-free pairwise"

@@ -176,18 +176,84 @@ class KittiCalibration:
         self.P = data["P2"].reshape(3, 4)
         self.V2C = data["Tr_velo_to_cam"].reshape(3, 4)
         self.R0 = data["R0_rect"].reshape(3, 3)
+        # cam->velo inverse rigid transform (reference kitti_util.py:364).
+        self.C2V = np.zeros_like(self.V2C)
+        self.C2V[:3, :3] = self.V2C[:3, :3].T
+        self.C2V[:3, 3] = -self.V2C[:3, :3].T @ self.V2C[:3, 3]
+        # Intrinsics decomposition (reference kitti_util.py:163-169): the
+        # P2 translation column encodes the stereo baseline offset b_x/b_y
+        # used by image->rect back-projection.
+        self.c_u, self.c_v = self.P[0, 2], self.P[1, 2]
+        self.f_u, self.f_v = self.P[0, 0], self.P[1, 1]
+        self.b_x = self.P[0, 3] / (-self.f_u)
+        self.b_y = self.P[1, 3] / (-self.f_v)
 
     @staticmethod
     def _hom(pts):
         return np.hstack((pts, np.ones((pts.shape[0], 1))))
 
-    def project_velo_to_rect(self, pts_velo: np.ndarray) -> np.ndarray:
-        ref = self._hom(pts_velo) @ self.V2C.T
-        return ref @ self.R0.T
+    # 3d <-> 3d (reference kitti_util.py:220-247)
+    def project_velo_to_ref(self, pts_velo: np.ndarray) -> np.ndarray:
+        return self._hom(pts_velo) @ self.V2C.T
 
+    def project_ref_to_velo(self, pts_ref: np.ndarray) -> np.ndarray:
+        return self._hom(pts_ref) @ self.C2V.T
+
+    def project_ref_to_rect(self, pts_ref: np.ndarray) -> np.ndarray:
+        return pts_ref @ self.R0.T
+
+    def project_rect_to_ref(self, pts_rect: np.ndarray) -> np.ndarray:
+        return pts_rect @ np.linalg.inv(self.R0).T
+
+    def project_velo_to_rect(self, pts_velo: np.ndarray) -> np.ndarray:
+        return self.project_ref_to_rect(self.project_velo_to_ref(pts_velo))
+
+    def project_rect_to_velo(self, pts_rect: np.ndarray) -> np.ndarray:
+        return self.project_ref_to_velo(self.project_rect_to_ref(pts_rect))
+
+    # 3d -> 2d (reference kitti_util.py:250-285)
     def project_rect_to_image(self, pts_rect: np.ndarray) -> np.ndarray:
         p = self._hom(pts_rect) @ self.P.T
         return p[:, :2] / p[:, 2:3]
+
+    def project_velo_to_image(self, pts_velo: np.ndarray) -> np.ndarray:
+        return self.project_rect_to_image(self.project_velo_to_rect(pts_velo))
+
+    @staticmethod
+    def project_8p_to_4p(pts_2d: np.ndarray) -> np.ndarray:
+        """8 projected box corners -> [x0, y0, x1, y1] image AABB (x0/y0
+        clamped at 0; reference kitti_util.py:267-276)."""
+        x0, y0 = np.min(pts_2d, axis=0)
+        x1, y1 = np.max(pts_2d, axis=0)
+        return np.array([max(0.0, x0), max(0.0, y0), x1, y1])
+
+    def project_velo_to_4p(self, pts_velo: np.ndarray) -> np.ndarray:
+        return self.project_8p_to_4p(self.project_velo_to_image(pts_velo))
+
+    # 2d -> 3d (reference kitti_util.py:288-326)
+    def project_image_to_rect(self, uv_depth: np.ndarray) -> np.ndarray:
+        """[N,3] (u, v, rect depth) -> [N,3] rect-frame points."""
+        z = uv_depth[:, 2]
+        x = (uv_depth[:, 0] - self.c_u) * z / self.f_u + self.b_x
+        y = (uv_depth[:, 1] - self.c_v) * z / self.f_v + self.b_y
+        return np.stack([x, y, z], axis=1)
+
+    def project_image_to_velo(self, uv_depth: np.ndarray) -> np.ndarray:
+        return self.project_rect_to_velo(self.project_image_to_rect(uv_depth))
+
+    def project_depth_to_velo(
+        self, depth: np.ndarray, constraint_box: bool = True
+    ) -> np.ndarray:
+        """Dense [H,W] rect-depth map -> velo-frame point cloud, optionally
+        clipped to the reference's scene box (kitti_util.py:306-326)."""
+        vv, uu = np.nonzero(np.ones_like(depth, dtype=bool))
+        uvd = np.stack([uu, vv, depth[vv, uu]], axis=1).astype(np.float64)
+        pc = self.project_image_to_velo(uvd)
+        if constraint_box:
+            lo = np.array([0.0, -40.0, -3.0])
+            hi = np.array([70.4, 40.0, 2.0])
+            pc = pc[np.all((pc >= lo) & (pc < hi), axis=1)]
+        return pc
 
 
 def lidar_in_image_fov(pc_velo, calib: KittiCalibration, width, height,

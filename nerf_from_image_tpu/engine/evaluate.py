@@ -12,6 +12,7 @@ human-readable .txt (the reference's report.pth/report.txt analog).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -203,6 +204,13 @@ class InversionReport:
         for step, item in self.consolidated().items():
             for k, v in item.items():
                 flat[f"step{step}/{k}"] = v
+        if self.metric_notes:
+            # Persist notes alongside the tensors so a resumed run keeps
+            # e.g. the RANDOM-FEATURE LPIPS stamp of its accumulated
+            # columns even if the resuming environment differs.
+            flat["__metric_notes__"] = np.asarray(
+                json.dumps(self.metric_notes)
+            )
         # Write-then-rename: a crash mid-write must not corrupt the
         # resume checkpoint of a multi-hour inversion run (load() would
         # raise on a truncated zip and lose the resume cursor).
@@ -233,10 +241,17 @@ class InversionReport:
             # object closes with the context manager.
             data = np.load(_io.BytesIO(f.read()))
         steps = sorted(
-            {int(k.split("/", 1)[0][len("step"):]) for k in data.files}
+            {
+                int(k.split("/", 1)[0][len("step"):])
+                for k in data.files
+                if "/" in k
+            }
         )
         report = cls(steps)
         for key in data.files:
+            if key == "__metric_notes__":
+                report.metric_notes = json.loads(str(data[key]))
+                continue
             step_str, metric = key.split("/", 1)
             report.items[int(step_str[len("step"):])].setdefault(
                 metric, []

@@ -65,11 +65,17 @@ class RenderConfig:
     # backward cost): packed-gather forward + ray-coherent Pallas windowed
     # splat instead of XLA scatter-add (ops/pallas/splat.py). First-order
     # only — leave False for renders that are double-differentiated
-    # (GAN path-length regularization). Applies when the query is
-    # unchunked and the ray grid divides splat_block.
+    # (GAN path-length regularization). Applies when the ray grid divides
+    # splat_block — unchunked, or chunked with whole-image-row chunks
+    # (each chunk is then itself a ray-coherent tile).
     plane_splat: bool = False
     splat_block: Tuple[int, int, int] = (16, 16, 4)
-    splat_window: Tuple[int, int] = (128, 64)
+    # (128, 128) keeps BOTH passes on the kernel's fast branch: the coarse
+    # pass's stratified blocks have much larger plane footprints than the
+    # surface-clustered fine samples, and a (128, 64) window silently
+    # routed the whole coarse splat to the scatter fallback (profiled in
+    # bench.py — 232 ms/step of hidden fallback).
+    splat_window: Tuple[int, int] = (128, 128)
     # Store the splat backward's dcoord residuals (fastest) vs re-gather
     # them in the backward (saves ~1.6 GB/pass of HBM at bench shapes —
     # what lets the unchunked full-gradient splat step fit a v5e at B=4).

@@ -52,16 +52,31 @@ def data_sharded(mesh: Mesh, rank: int = 4, axis: int = 0) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree, global_batch: int = None):
     """Places a pytree of batched arrays with batch dim sharded over 'data'.
 
-    Every process passes the identical GLOBAL batch (the step-indexed
-    samplers and eval-index machinery are deterministic, so all hosts
-    compute the same selection). Single-process this is a device_put with
-    a NamedSharding; multi-host each process slices out its local portion
-    and contributes it via jax.make_array_from_process_local_data, so the
-    result is one global jax.Array spanning all hosts either way.
+    CONTRACT (identical single- and multi-host): every process passes the
+    identical GLOBAL batch (the step-indexed samplers and eval-index
+    machinery are deterministic, so all hosts compute the same
+    selection). Passing a per-host slice on multi-host would silently
+    mis-shard — each host's rows would be re-sliced as if global. Pass
+    `global_batch` (the expected leading-dim size) to turn that mistake
+    into a loud error; leave it None only for ad-hoc single-host use.
+
+    Single-process this is a device_put with a NamedSharding; multi-host
+    each process slices out its local portion and contributes it via
+    jax.make_array_from_process_local_data, so the result is one global
+    jax.Array spanning all hosts either way.
     """
+    if global_batch is not None:
+        for leaf in jax.tree.leaves(tree):
+            if np.ndim(leaf) >= 1:
+                assert np.shape(leaf)[0] == global_batch, (
+                    f"shard_batch expects the GLOBAL batch "
+                    f"({global_batch} rows) on every process, got "
+                    f"{np.shape(leaf)[0]} — did a caller pass a per-host "
+                    f"slice?"
+                )
     if jax.process_count() > 1:
         return shard_global_batch(mesh, tree)
 
@@ -132,7 +147,25 @@ def maybe_init_multihost(args=None) -> None:
         )
     )
     if want or env:
-        initialize_distributed()
+        # Explicit topology (clusters without a jax auto-detect plugin,
+        # and the 2-process driver-level test): COORDINATOR_ADDRESS plus
+        # NFI_NUM_PROCESSES / NFI_PROCESS_ID configure the cluster
+        # directly; otherwise jax's environment auto-detection runs.
+        kwargs = {}
+        addr = os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"
+        )
+        if (
+            addr
+            and "NFI_NUM_PROCESSES" in os.environ
+            and "NFI_PROCESS_ID" in os.environ
+        ):
+            kwargs = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ["NFI_NUM_PROCESSES"]),
+                process_id=int(os.environ["NFI_PROCESS_ID"]),
+            )
+        initialize_distributed(**kwargs)
         if jax.process_count() > 1:
             print(
                 f"multihost: process {jax.process_index()}/"

@@ -173,21 +173,53 @@ def _solve_single_focal(pts, uv_pix, w, focal):
     return R, t, err
 
 
+def _bit_reversal_permutation(n: int) -> np.ndarray:
+    """Deterministic spatially-stratified ordering of n row indices.
+
+    Bit-reversing the linear pixel index is a van-der-Corput-style
+    low-discrepancy reordering: any prefix of the reordered sequence
+    covers the whole index range (and hence the whole image, for
+    row-major pixel grids) near-uniformly. For non-power-of-two n the
+    reversed values are ranked by argsort, which preserves the
+    stratification property. Computed host-side at trace time (static
+    shape), so it costs nothing on device.
+    """
+    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    idx = np.arange(n, dtype=np.uint64)
+    rev = np.zeros_like(idx)
+    for b in range(bits):
+        rev |= ((idx >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+            bits - 1 - b
+        )
+    if (1 << bits) == n:
+        return rev.astype(np.int32)
+    return np.argsort(rev, kind="stable").astype(np.int32)
+
+
 def _compact_foreground(pts, uv_pix, w, max_points):
     """Foreground compaction: keep only (up to) `max_points` mask-selected
     rows per sample before the DLT/Gauss-Newton matmuls.
 
     Weights zero out background, but without compaction the solver still
-    multiplies all H*W rows PER FOCAL GUESS. top_k on the binary weights
-    selects exactly the foreground rows (plus zero-weight pads) whenever
-    the mask has <= max_points pixels — the solve is then bit-equivalent
-    to the uncompacted one (weighted LS is row-order invariant; zero
-    rows contribute nothing) at a fraction of the FLOPs. Oversized masks
+    multiplies all H*W rows PER FOCAL GUESS. Rows are first reordered by a
+    fixed bit-reversal (spatially stratified) permutation, then top_k on
+    the binary weights selects foreground rows (plus zero-weight pads).
+    Whenever the mask has <= max_points pixels the solve is bit-equivalent
+    to the uncompacted one (weighted LS is row-order invariant; zero rows
+    contribute nothing) at a fraction of the FLOPs. Oversized masks
     (> max_points foreground pixels, i.e. > half the crop at the default)
-    are truncated to the first max_points rows in scan order — a
-    statistically dense subset. Measured: see scripts/bench_pnp.py."""
+    are truncated to the first max_points foreground rows in the
+    stratified order — top_k breaks ties in ascending index order, and in
+    bit-reversed order any index prefix covers the image near-uniformly,
+    so the kept subset spans the full object extent instead of its top
+    rows (tests/test_pnp.py::test_compaction_oversized_mask_is_unbiased).
+    Measured: see scripts/bench_pnp.py."""
     if max_points is None or max_points >= pts.shape[1]:
         return pts, uv_pix, w
+    perm = jnp.asarray(_bit_reversal_permutation(pts.shape[1]))
+    pts = pts[:, perm]
+    uv_pix = uv_pix[:, perm]
+    w = w[:, perm]
     _, sel = jax.lax.top_k(w, max_points)
     pts = jnp.take_along_axis(pts, sel[..., None], axis=1)
     uv_pix = jnp.take_along_axis(uv_pix, sel[..., None], axis=1)

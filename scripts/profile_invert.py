@@ -52,7 +52,24 @@ def main():
     )
 
     config = inv_mod.InversionConfig(steps=STEPS, loss="vgg")
-    for plane_dtype in (None, "bfloat16"):
+    # (plane_dtype, plane_splat, query_chunk, label): the last row is the
+    # --plane_splat driver configuration (Pallas windowed-splat backward,
+    # unchunked) measured against the round-3 bf16 scatter baseline.
+    configs = [
+        (None, False, 131072, "f32", None),
+        ("bfloat16", False, 131072, "bf16", None),
+        ("bfloat16", True, None, "bf16+splat", None),
+        # bench.py's compiler options (scoped-VMEM gather-table pinning +
+        # remat budget): measured on the inversion program too.
+        (
+            "bfloat16", True, None, "bf16+splat+copts",
+            {
+                "xla_jf_rematerialization_percent_shared_memory_limit": "63",
+                "xla_tpu_scoped_vmem_limit_kib": "90112",
+            },
+        ),
+    ]
+    for plane_dtype, plane_splat, query_chunk, label, copts in configs:
         render_config = RenderConfig(
             resolution=RES,
             depth_samples_per_ray=64,
@@ -60,14 +77,17 @@ def main():
             scene_range=1.4,
             white_background=False,
             plane_dtype=plane_dtype,
+            plane_splat=plane_splat,
+            query_chunk=query_chunk,
         )
-        invert = jax.jit(
+        invert_jit = jax.jit(
             inv_mod.make_invert_fn(
                 config, render_config, model, variables, lpips_model,
                 lpips_vars,
             ),
             static_argnames=("n_steps",),
         )
+        invert = invert_jit
 
         rng = np.random.default_rng(0)
         poses = []
@@ -87,6 +107,18 @@ def main():
             jax.random.key(3), (B, RES, RES, 3), minval=-1.0, maxval=1.0
         )
 
+        if copts:
+            try:
+                invert = invert_jit.lower(
+                    z0, params, target, jax.random.key(4), n_steps=STEPS
+                ).compile(compiler_options=copts)
+                invert = (lambda c: lambda z, p, tg, k, n_steps: c(
+                    z, p, tg, k
+                ))(invert)
+            except Exception as e:  # options are a bonus, not a gate
+                print(f"[{label}] compile with options failed: {e!r}")
+                continue
+
         def run(z0, params, target, key):
             z_f, pose_f, losses = invert(
                 z0, params, target, key, n_steps=STEPS
@@ -94,7 +126,6 @@ def main():
             return losses
 
         t = timeit(run, z0, params, target, jax.random.key(4), iters=3)
-        label = plane_dtype or "f32"
         print(
             f"[{label:>8}] {STEPS}-step inversion B={B}: {t * 1e3:9.1f} ms"
             f"  ->  {B * STEPS / t:7.1f} step-imgs/s, {t / B:6.3f} s/img"

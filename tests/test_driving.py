@@ -141,6 +141,28 @@ class TestKnownKPnP:
         assert np.asarray(err).max() < 1e-3
 
 
+class TestReprojectDepth:
+    def test_identity_transform_is_exact(self):
+        """A grid-aligned depth map reprojected through the identity must
+        land back on the SAME pixels: the forward ray grid samples at
+        col/S - cx, whose exact inverse is an integer, so any systematic
+        floor()-shift would displace every point by one pixel (advisor
+        round-3 finding)."""
+        import eval_driving
+
+        S = 16
+        rng = np.random.default_rng(3)
+        depth = np.zeros((S, S))
+        r = rng.integers(0, S, 20)
+        c = rng.integers(0, S, 20)
+        depth[r, c] = rng.uniform(2.0, 8.0, 20)
+        K = np.array(
+            [[1.4, 0.0, 0.03], [0.0, 1.4, -0.02], [0.0, 0.0, 1.0]]
+        )
+        out = eval_driving.reproject_depth(depth, K, np.eye(4))
+        np.testing.assert_allclose(out, depth, rtol=1e-9, atol=1e-9)
+
+
 class TestDrivingDemoExport:
     """Per-object demo composites (reference: eval_nusc_persp.py:553-802)."""
 
@@ -456,3 +478,198 @@ class TestKittiObjectReaderLayout:
             assert reader.image(0).shape == (4, 6, 3)
             labels = reader.labels(0)
             assert labels[0].type == "Car" and labels[0].ry == -1.2
+
+
+class TestDevkit:
+    """Devkit geometry/viz closure (reference data/kitti_util.py,
+    data/kitti_object.py): projection round-trips, golden comparisons
+    against the reference devkit, BEV raster equivalence."""
+
+    CALIB = (
+        "P2: 721.5377 0.0 609.5593 44.85728 "
+        "0.0 721.5377 172.854 0.2163791 0.0 0.0 1.0 0.002745884\n"
+        "R0_rect: 0.9999239 0.00983776 -0.007445048 "
+        "-0.0098698 0.9999421 -0.004278459 "
+        "0.007402527 0.004351614 0.9999631\n"
+        "Tr_velo_to_cam: 0.007533745 -0.9999714 -0.000616602 -0.004069766 "
+        "0.01480249 0.0007280733 -0.9998902 -0.07631618 "
+        "0.9998621 0.00752379 0.0148556 -0.2717806\n"
+    )
+
+    def _calib(self, tmp_path):
+        from nerf_from_image_tpu.data.driving import KittiCalibration
+
+        p = tmp_path / "000000.txt"
+        p.write_text(self.CALIB)
+        return KittiCalibration(str(p)), str(p)
+
+    def test_projection_roundtrips(self, tmp_path):
+        calib, _ = self._calib(tmp_path)
+        rng = np.random.default_rng(0)
+        velo = rng.uniform([2, -10, -2], [60, 10, 1], (200, 3))
+        # velo<->ref round trips invert a calib-file rotation that is only
+        # orthogonal to the file's printed precision (R R^T deviates from
+        # I by ~5e-5 for these KITTI-style values), so
+        # exactness is bounded by that — identical to the reference devkit,
+        # whose inverse_rigid_trans makes the same orthogonality assumption.
+        rect = calib.project_velo_to_rect(velo)
+        np.testing.assert_allclose(
+            calib.project_rect_to_velo(rect), velo, atol=5e-3
+        )
+        ref = calib.project_velo_to_ref(velo)
+        np.testing.assert_allclose(
+            calib.project_ref_to_velo(ref), velo, atol=5e-3
+        )
+        # rect<->ref uses an exact matrix inverse: machine precision.
+        np.testing.assert_allclose(
+            calib.project_ref_to_rect(calib.project_rect_to_ref(rect)),
+            rect, atol=1e-9,
+        )
+        uv = calib.project_rect_to_image(rect)
+        uvd = np.concatenate([uv, rect[:, 2:3]], axis=1)
+        # image->rect ignores the P2 third-row offset (P23=0.0027 here) —
+        # the same small-baseline approximation the reference devkit makes
+        # (kitti_util.py:288-300); the golden test below confirms exact
+        # agreement with the reference's own back-projection.
+        np.testing.assert_allclose(
+            calib.project_image_to_rect(uvd), rect, atol=2e-2
+        )
+        np.testing.assert_allclose(
+            calib.project_image_to_velo(uvd), velo, atol=2e-2
+        )
+
+    def test_calibration_golden_vs_reference(self, tmp_path):
+        from tests.conftest import import_reference_module, reference_available
+
+        if not reference_available():
+            pytest.skip("reference checkout not available")
+        ref_util = import_reference_module("data.kitti_util")
+        calib, path = self._calib(tmp_path)
+        ref_calib = ref_util.Calibration(path)
+        rng = np.random.default_rng(1)
+        velo = rng.uniform([2, -10, -2], [60, 10, 1], (64, 3))
+        for mine, theirs in (
+            (calib.project_velo_to_rect, ref_calib.project_velo_to_rect),
+            (calib.project_velo_to_image, ref_calib.project_velo_to_image),
+            (calib.project_velo_to_4p, ref_calib.project_velo_to_4p),
+        ):
+            np.testing.assert_allclose(mine(velo), theirs(velo), atol=1e-9)
+        rect = calib.project_velo_to_rect(velo)
+        np.testing.assert_allclose(
+            calib.project_rect_to_velo(rect),
+            ref_calib.project_rect_to_velo(rect), atol=1e-9,
+        )
+        uvd = rng.uniform([0, 0, 2], [1200, 370, 60], (64, 3))
+        np.testing.assert_allclose(
+            calib.project_image_to_velo(uvd),
+            ref_calib.project_image_to_velo(uvd), atol=1e-9,
+        )
+        depth = rng.uniform(2, 60, (8, 12))
+        np.testing.assert_allclose(
+            calib.project_depth_to_velo(depth, constraint_box=True),
+            ref_calib.project_depth_to_velo(depth, constraint_box=True),
+            atol=1e-9,
+        )
+
+    def test_box3d_golden_vs_reference(self, tmp_path):
+        from tests.conftest import import_reference_module, reference_available
+
+        if not reference_available():
+            pytest.skip("reference checkout not available")
+        ref_util = import_reference_module("data.kitti_util")
+        from nerf_from_image_tpu.data import devkit
+        from nerf_from_image_tpu.data.driving import KittiLabel
+
+        calib, _ = self._calib(tmp_path)
+        line = ("Car 0.1 1 -1.57 100 150 300 250 "
+                "1.5 1.6 3.9 1.0 1.5 20.0 -1.2")
+        mine = KittiLabel.parse(line)
+        theirs = ref_util.Object3d(line)
+        c2d, c3d = devkit.compute_box_3d(mine, calib.P)
+        rc2d, rc3d = ref_util.compute_box_3d(theirs, calib.P)
+        np.testing.assert_allclose(c3d, rc3d, atol=1e-9)
+        np.testing.assert_allclose(c2d, rc2d, atol=1e-9)
+        o2d, o3d = devkit.compute_orientation_3d(mine, calib.P)
+        ro2d, ro3d = ref_util.compute_orientation_3d(theirs, calib.P)
+        np.testing.assert_allclose(o3d, ro3d, atol=1e-9)
+        np.testing.assert_allclose(o2d, ro2d, atol=1e-9)
+        # Behind-camera handling: corners_2d becomes None.
+        behind = KittiLabel.parse(
+            "Car 0.0 0 0.0 0 0 10 10 1.5 1.6 3.9 0.0 1.0 -5.0 0.0"
+        )
+        c2d_b, _ = devkit.compute_box_3d(behind, calib.P)
+        assert c2d_b is None
+
+    def test_lidar_to_top_golden_vs_reference(self):
+        from tests.conftest import import_reference_module, reference_available
+
+        if not reference_available():
+            pytest.skip("reference checkout not available")
+        ref_util = import_reference_module("data.kitti_util")
+        from nerf_from_image_tpu.data import devkit
+
+        rng = np.random.default_rng(2)
+        lidar = np.concatenate(
+            [
+                rng.uniform([0.5, -29, -3.4], [99, 29, 0.55], (3000, 3)),
+                rng.uniform(0, 1, (3000, 1)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        mine = devkit.lidar_to_top(lidar)
+        theirs = ref_util.lidar_to_top(lidar)
+        assert mine.shape == theirs.shape
+        np.testing.assert_allclose(mine, theirs, atol=1e-5)
+        # coords helper parity at a few probe points.
+        for x, y in [(0.7, -3.2), (50.0, 10.0), (99.0, 29.0)]:
+            assert devkit.lidar_to_top_coords(x, y) == \
+                ref_util.lidar_to_top_coords(x, y)
+
+    def test_rigid_and_depth_helpers(self):
+        from nerf_from_image_tpu.data import devkit
+
+        R = devkit.rotz(0.3) @ devkit.roty(-0.2) @ devkit.rotx(1.1)
+        t = np.array([1.0, -2.0, 3.0])
+        Tr = devkit.transform_from_rot_trans(R, t)[:3]
+        inv = devkit.inverse_rigid_trans(Tr)
+        full = np.eye(4)
+        full[:3] = Tr
+        inv_full = np.eye(4)
+        inv_full[:3] = inv
+        np.testing.assert_allclose(inv_full @ full, np.eye(4), atol=1e-12)
+
+        depth = np.arange(12, dtype=np.float64).reshape(3, 4)
+        pt3d = devkit.get_depth_pt3d(depth)
+        assert pt3d.shape == (12, 3)
+        np.testing.assert_allclose(pt3d[5], [1, 1, 5.0])
+
+    def test_drawing_smoke(self, tmp_path):
+        from nerf_from_image_tpu.data import devkit
+        from nerf_from_image_tpu.data.driving import KittiLabel
+
+        calib, _ = self._calib(tmp_path)
+        obj = KittiLabel.parse(
+            "Car 0.1 1 -1.57 100 150 300 250 1.5 1.6 3.9 1.0 1.5 20.0 -1.2"
+        )
+        img = np.zeros((370, 1224, 3), np.uint8)
+        out = devkit.show_image_with_boxes(img, [obj], calib, show3d=True)
+        assert out.sum() > 0
+        out2d = devkit.show_image_with_boxes(img, [obj], calib, show3d=False)
+        assert out2d.sum() > 0
+        # BEV: raster + footprint overlay.
+        corners = devkit.compute_box_3d(obj, calib.P)[1]
+        corners_velo = calib.project_rect_to_velo(corners)
+        rng = np.random.default_rng(3)
+        lidar = np.concatenate(
+            [
+                rng.uniform([1, -20, -2], [60, 20, 0.5], (500, 3)),
+                rng.uniform(0, 1, (500, 1)),
+            ],
+            axis=1,
+        )
+        top_img = devkit.draw_top_image(devkit.lidar_to_top(lidar))
+        boxed = devkit.draw_box3d_on_top(top_img, [corners_velo])
+        assert boxed.shape == top_img.shape
+        assert devkit.velo_points_in_box3d(lidar[:, :3], corners_velo).shape[
+            1
+        ] == 3

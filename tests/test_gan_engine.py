@@ -650,11 +650,31 @@ class TestGoldenVsReference:
                     )(jnp.asarray(x), jnp.asarray(sigma, jnp.float32))
                 )
                 if i in boundary:
-                    # Documented one-tap boundary divergence (see
-                    # filters.blur_dynamic docstring): same kernel family,
-                    # support wider by one tap for this iteration only.
+                    # Quantitative one-tap boundary check (see
+                    # filters.blur_dynamic docstring): the traced f32
+                    # sigma gives blur_size=floor(3.0)=3 where the
+                    # reference's f64 schedule floors 2.999... to 2.
+                    # Reproduce the exact 7-tap kernel host-side and
+                    # demand tight agreement with THAT — not a loose
+                    # band around the reference.
+                    bs_dyn = int(np.floor(np.float32(sigma) * 3.0))
+                    assert bs_dyn == 3  # one tap wider than ref's 2
+                    taps = np.arange(
+                        -bs_dyn, bs_dyn + 1, dtype=np.float64
+                    )
+                    fk = np.exp2(-((taps / sigma) ** 2))
+                    fk /= fk.sum()
+                    exp = x - 1.0 if white else x
+                    exp = np.asarray(
+                        filters.filt2d_same(
+                            jnp.asarray(exp),
+                            jnp.asarray(fk, jnp.float32),
+                        )
+                    )
+                    if white:
+                        exp = exp + 1.0
                     np.testing.assert_allclose(
-                        got_dyn, ref, rtol=1.0, atol=5e-3,
+                        got_dyn, exp, rtol=1e-5, atol=1e-5,
                         err_msg=f"dynamic blur i={i} white={white}",
                     )
                 else:
@@ -698,7 +718,6 @@ class TestGoldenVsReference:
         variables = torch_interop.state_dict_to_variables(dict(variables), sd)
         params = jax.tree.map(jnp.asarray, variables)["params"]
 
-        config = GANTrainConfig = None  # noqa: F841 (clarity below)
         from nerf_from_image_tpu.engine.gan import GANTrainConfig
 
         config = GANTrainConfig(batch_size=4, latent_dim=8, r1=5.0)

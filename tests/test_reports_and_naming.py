@@ -126,6 +126,17 @@ class TestGpusAlias:
         assert arguments.parse_args(["--gpus", "4", "--chips", "2"]).chips == 2
         assert arguments.parse_args([]).chips == 0
 
+    def test_plane_splat_flag(self):
+        from nerf_from_image_tpu import arguments
+
+        assert arguments.parse_args([]).plane_splat is False
+        assert arguments.parse_args(
+            ["--plane_splat", "true"]
+        ).plane_splat is True
+        assert arguments.parse_args(
+            ["--plane_splat", ""]
+        ).plane_splat is False
+
 
 class TestReportRoundtrip:
     def test_save_and_reaggregate(self, tmp_path):
@@ -160,6 +171,20 @@ class TestReportRoundtrip:
         np.testing.assert_allclose(
             loaded.consolidated()[30]["psnr"], cons[30]["psnr"]
         )
+
+        # Metric notes persist through save/load: a report accumulated
+        # with random-feature LPIPS keeps its stamp on resume even if the
+        # resuming environment has real weights (advisor round-3 finding).
+        stamped = InversionReport(
+            [0], {"lpips": "(RANDOM-FEATURE — not metric grade)"}
+        )
+        stamped.add(0, {"lpips": np.random.rand(2).astype(np.float32)})
+        stamped.save(os.path.join(str(tmp_path), "stamped"))
+        reloaded = InversionReport.load(
+            os.path.join(str(tmp_path), "stamped")
+        )
+        assert reloaded.metric_notes == stamped.metric_notes
+        assert "RANDOM-FEATURE" in reloaded.summary()
 
         # The re-aggregator CLI prints per-checkpoint means from the npz.
         res = subprocess.run(

@@ -265,7 +265,8 @@ def main():
                 batch["images_highres"] = jnp.asarray(
                     sel.images_highres[..., :nc]
                 )
-        return mesh_mod.shard_batch(mesh, batch)
+        return mesh_mod.shard_batch(mesh, batch,
+                                    global_batch=args.batch_size)
 
     # SDF pretraining (reference: run.py:821-869). Conditional modes
     # pretrain with their conditioning: encoder mode draws train images,
@@ -381,6 +382,7 @@ def main():
         test_eval_indices = None
         test_eval_perm = None
         z_fid_test = None
+        test_real_stats = None
         if (
             args.use_encoder
             and config_ds.views_per_object_test
@@ -397,6 +399,10 @@ def main():
             print(
                 f"Evaluating test set on {len(test_eval_indices)} images"
             )
+            if have_inception:
+                test_real_stats = gan_eval.compute_real_fid_stats(
+                    inception, inc_vars, test_split.images
+                )
         lpips_vars = None
         lpips_model = None
         if args.use_encoder:
@@ -426,7 +432,8 @@ def main():
             split, the held-out test split (reference: run.py:1365-1401;
             TB scalar names follow the reference:
             reconstruction/{psnr,ssim,lpips,iou}[_test]_{front,random},
-            reconstruction/fid_{front,random}view, generation/fid_untrunc).
+            reconstruction/fid_{front,random}view[_test],
+            generation/fid_untrunc).
             current_fid follows the random-view recon FID when
             use_encoder."""
             variables = {"params": st.params_ema}
@@ -446,10 +453,9 @@ def main():
             out = {"first_batch": None, "fid": None}
 
             def run_mode(split, indices, perm, z, mode, views, inputs,
-                         suffix, with_fid):
+                         suffix, stats):
                 r = gan_eval.evaluate_recon(
-                    recon_fn, variables, z, split, indices,
-                    real_stats if with_fid else None,
+                    recon_fn, variables, z, split, indices, stats,
                     recon_mode=mode,
                     perm_indices=perm if mode == "random" else None,
                     views_per_object=views,
@@ -460,34 +466,42 @@ def main():
                     if k in ("first_batch", "n_images", "fid"):
                         continue
                     out[f"reconstruction/{k}{suffix}_{mode}"] = v
-                if with_fid and r.get("fid") is not None:
-                    out[f"reconstruction/fid_{mode}view"] = r["fid"]
+                if stats is not None and r.get("fid") is not None:
+                    out[f"reconstruction/fid_{mode}view{suffix}"] = r["fid"]
                 return r
 
             rf = run_mode(
                 train_eval_split, eval_indices, eval_perm, z_fid, "front",
-                config_ds.views_per_object, train_split.images, "", True,
+                config_ds.views_per_object, train_split.images, "",
+                real_stats,
             )
             rr = run_mode(
                 train_eval_split, eval_indices, eval_perm, z_fid, "random",
-                config_ds.views_per_object, train_split.images, "", True,
+                config_ds.views_per_object, train_split.images, "",
+                real_stats,
             )
             out["first_batch"] = rf["first_batch"]
             # current_fid = random-view recon FID (reference run.py:1393).
             out["fid"] = rr.get("fid", rf.get("fid"))
             if test_eval_indices is not None:
-                # Held-out test split, no FID (the reference's testset
-                # evaluate() returns before the FID branch,
-                # run.py:1359-1360).
+                # Held-out test split. The reference's
+                # evaluate(use_testset=True) DOES compute inception
+                # activations and a FID against test_split.fid_stats
+                # (run.py:1363-1366) — its callers just discard the
+                # return value (run.py:1396-1401), so no testset-FID
+                # scalar is ever logged. We log it
+                # (reconstruction/fid_{mode}view_test): the computation
+                # is already paid for and the held-out number is
+                # strictly more informative. Decision: PARITY.md §2.6.
                 run_mode(
                     test_split, test_eval_indices, test_eval_perm,
                     z_fid_test, "front", config_ds.views_per_object_test,
-                    test_split.images, "_test", False,
+                    test_split.images, "_test", test_real_stats,
                 )
                 run_mode(
                     test_split, test_eval_indices, test_eval_perm,
                     z_fid_test, "random", config_ds.views_per_object_test,
-                    test_split.images, "_test", False,
+                    test_split.images, "_test", test_real_stats,
                 )
             return out
 
@@ -505,10 +519,12 @@ def main():
     # checkpoint, run.py:900-901; a sidecar avoids checkpoint-layout churn).
     import json as _json
 
+    from nerf_from_image_tpu.utils import fileio
+
     best_fid = float("inf")
     best_fid_path = os.path.join(checkpoint_dir, "best_fid.json")
-    if start_iter > 0 and os.path.exists(best_fid_path):
-        with open(best_fid_path) as f:
+    if start_iter > 0 and fileio.file_exists(best_fid_path):
+        with fileio.open_file(best_fid_path) as f:
             best_fid = float(_json.load(f)["best_fid"])
         print(f"Restored best_fid {best_fid:.3f}")
     with jax.sharding.set_mesh(mesh):
@@ -582,7 +598,9 @@ def main():
                                              "checkpoint_best"),
                                 {"state": state, "key": key},
                             )
-                            with open(best_fid_path, "w") as f:
+                            with fileio.open_file(
+                                best_fid_path, "w"
+                            ) as f:
                                 _json.dump({"best_fid": best_fid}, f)
                     ckpt.save_checkpoint(
                         os.path.join(checkpoint_dir, "checkpoint_latest"),

@@ -192,7 +192,8 @@ def main():
                 batch["bbox"] = jnp.asarray(sel.bbox)
             if args.use_class and sel.classes is not None:
                 batch["classes"] = jnp.asarray(sel.classes)
-            batch = mesh_mod.shard_batch(mesh, batch)
+            batch = mesh_mod.shard_batch(mesh, batch,
+                                         global_batch=args.batch_size)
             key, k = jax.random.split(key)
             state, losses = step(state, batch, k)
             if i % 1000 == 0 or i + 1 == config.max_iters:
