@@ -303,16 +303,7 @@ def main():
         # accumulated ANY random-feature LPIPS rows must keep that stamp
         # even if NFI_LPIPS_WEIGHTS is set on resume (and vice versa the
         # current environment's stamp is added for the rows to come).
-        for pfx, note in metric_notes.items():
-            old = report.metric_notes.get(pfx)
-            if old and old != note:
-                note = f"{old} + resumed with {note}"
-            report.metric_notes[pfx] = note
-        for pfx, old in list(report.metric_notes.items()):
-            if pfx not in metric_notes and "resumed" not in old:
-                report.metric_notes[pfx] = (
-                    f"{old} (mixed: resumed at metric grade)"
-                )
+        report.merge_notes_on_resume(metric_notes)
         resume_idx = report.num_samples()
         print(f"Resuming inversion report at image {resume_idx}")
     # Reference inversion batch: batch_size // 4 per device

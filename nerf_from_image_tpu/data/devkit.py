@@ -201,6 +201,13 @@ def lidar_to_top(lidar: np.ndarray) -> np.ndarray:
     match reference kitti_util.py:427-527 exactly — golden-tested — but
     the triple Python loop over cells is replaced by one lexsort +
     grouped-scatter pass.
+
+    Documented edge-case divergence: for the reflectance channel the
+    devkit's np.argmax picks the FIRST point (original scan order) among
+    cell-mates sharing the exact same max height, while the lexsort-last
+    pass here picks the LAST. Exact float ties between distinct returns
+    are measure-zero for real LiDAR data, so the golden test holds on
+    generic inputs; duplicated returns could differ in that one channel.
     """
     m = (
         (lidar[:, 0] > TOP_X_MIN) & (lidar[:, 0] < TOP_X_MAX)

@@ -141,6 +141,31 @@ class InversionReport:
         # zero-weight environment visibly non-comparable.
         self.metric_notes: Dict[str, str] = dict(metric_notes or {})
 
+    def merge_notes_on_resume(self, current_notes: Dict[str, str]) -> None:
+        """Reconciles saved metric notes with the resuming environment's.
+
+        Keeps the stricter (present) stamp in both directions: rows already
+        accumulated under a note keep it even if the environment improved
+        on resume, and metric-grade rows are marked as mixed when the
+        resuming environment adds a note (or drops one) — so no row's
+        provenance is ever silently upgraded.
+        """
+        for pfx, note in current_notes.items():
+            old = self.metric_notes.get(pfx)
+            if old and old != note:
+                note = f"{old} + resumed with {note}"
+            elif not old:
+                # Saved rows were metric grade (no note); rows from here
+                # on are not. Mark the mixed provenance so the earlier
+                # metric-grade rows aren't mislabeled by the plain stamp.
+                note = f"{note} (mixed: metric-grade rows before resume)"
+            self.metric_notes[pfx] = note
+        for pfx, old in list(self.metric_notes.items()):
+            if pfx not in current_notes and "resumed" not in old:
+                self.metric_notes[pfx] = (
+                    f"{old} (mixed: resumed at metric grade)"
+                )
+
     def add(self, step: int, metrics: Dict[str, Any], recovered=None):
         item = self.items[step]
         for k, v in metrics.items():

@@ -51,6 +51,19 @@ jax.checkpoint's re-execution of the forward gathers dominates. It
 remains correct and memory-lean (2.9-4.4 GiB temps) and is kept solely
 as the fallback for smaller-HBM parts.
 
+Round-5 window-sensitivity sweep (scripts/bench_step_config.py,
+iters=16): at WX=128 the step is FLAT across WY 96..128 (199.0k /
+198.4k / 198.2k / 197.6k rays/s for WY=96/104/112/128) — the splat's
+MXU contraction largely overlaps with gathers/DMA, so shrinking the
+window buys ~nothing — and below the footprint cliff it collapses to
+the scatter fallback (WY=88: 124.4k; WX=112: 188.3k; any (th,tw)
+halving of the 16x16 ray tile: ~121-124k). save_rows=0 with NO remat
+cap lands on the identical 9.66 GiB plan and the identical 333 ms as
+save_rows=1 + rematpct=63: the compiler's remat and the explicit
+re-gather trade the same work. The shipped (128,128)+rematpct=63
+config is therefore at a plateau whose next lever is structural
+(fusing the forward gathers' consumer chain), not tunable.
+
 Post-splat roofline at the shipped 333 ms step: the 6 mandatory per-pass
 row gathers (3 planes x coarse+fine x 4.19M rows) floor the step at
 ~97 ms at the 260 Mrows/s VMEM gather wall; the splat windows add

@@ -70,8 +70,11 @@ def shard_batch(mesh: Mesh, tree, global_batch: int = None):
     """
     if global_batch is not None:
         for leaf in jax.tree.leaves(tree):
-            if np.ndim(leaf) >= 1:
-                assert np.shape(leaf)[0] == global_batch, (
+            if np.ndim(leaf) >= 1 and np.shape(leaf)[0] != global_batch:
+                # ValueError (not assert): this contract check must
+                # survive `python -O`, or the mis-sharding it guards
+                # against becomes silent again.
+                raise ValueError(
                     f"shard_batch expects the GLOBAL batch "
                     f"({global_batch} rows) on every process, got "
                     f"{np.shape(leaf)[0]} — did a caller pass a per-host "
@@ -155,17 +158,32 @@ def maybe_init_multihost(args=None) -> None:
         addr = os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
             "JAX_COORDINATOR_ADDRESS"
         )
-        if (
-            addr
-            and "NFI_NUM_PROCESSES" in os.environ
-            and "NFI_PROCESS_ID" in os.environ
-        ):
-            kwargs = dict(
-                coordinator_address=addr,
-                num_processes=int(os.environ["NFI_NUM_PROCESSES"]),
-                process_id=int(os.environ["NFI_PROCESS_ID"]),
-            )
-        initialize_distributed(**kwargs)
+        if addr:
+            have_n = "NFI_NUM_PROCESSES" in os.environ
+            have_id = "NFI_PROCESS_ID" in os.environ
+            if have_n and have_id:
+                kwargs = dict(
+                    coordinator_address=addr,
+                    num_processes=int(os.environ["NFI_NUM_PROCESSES"]),
+                    process_id=int(os.environ["NFI_PROCESS_ID"]),
+                )
+            elif have_n or have_id:
+                # A partial explicit topology must NOT fall through to the
+                # zero-config probe: initialize_distributed() swallows its
+                # failures, and each host would then train an unsynced
+                # single-process replica — the exact hazard its docstring
+                # warns about.
+                missing = "NFI_PROCESS_ID" if have_n else "NFI_NUM_PROCESSES"
+                raise ValueError(
+                    f"COORDINATOR_ADDRESS={addr} is set with an incomplete "
+                    f"explicit topology: {missing} is missing. Set both "
+                    "NFI_NUM_PROCESSES and NFI_PROCESS_ID (or neither, to "
+                    "use jax's cluster auto-detection)."
+                )
+        # An explicit coordinator address signals multi-host intent even
+        # when the NFI_* topology comes from jax auto-detection — failures
+        # are then real misconfigurations, never fall back silently.
+        initialize_distributed(_strict=bool(addr), **kwargs)
         if jax.process_count() > 1:
             print(
                 f"multihost: process {jax.process_index()}/"
@@ -175,17 +193,18 @@ def maybe_init_multihost(args=None) -> None:
             )
 
 
-def initialize_distributed(**kwargs):
+def initialize_distributed(_strict: bool = False, **kwargs):
     """Multi-host init (DCN); no-op when running single-process.
 
-    With explicit kwargs (coordinator address etc.) failures are REAL
-    misconfigurations and must propagate — swallowing them would leave
-    each host training an independent, silently-unsynced replica. Only the
-    zero-config probe (no cluster environment detected / already
-    initialized) is allowed to fall through to single-process mode."""
+    With explicit kwargs (coordinator address etc.) or `_strict=True`
+    failures are REAL misconfigurations and must propagate — swallowing
+    them would leave each host training an independent, silently-unsynced
+    replica. Only the zero-config probe (no cluster environment detected /
+    already initialized) is allowed to fall through to single-process
+    mode."""
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
-        if kwargs and "already initialized" not in str(e).lower():
+        if (kwargs or _strict) and "already initialized" not in str(e).lower():
             raise
 

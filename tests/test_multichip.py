@@ -56,6 +56,16 @@ def test_dp_step_matches_single_device(mesh):
                                atol=1e-6)
 
 
+def test_shard_batch_global_batch_guard_raises(mesh):
+    """The global-vs-per-host batch guard is a ValueError (survives -O)."""
+    from nerf_from_image_tpu.parallel import mesh as mesh_mod
+
+    with pytest.raises(ValueError, match="GLOBAL batch"):
+        mesh_mod.shard_batch(
+            mesh, {"x": np.zeros((2, 3), np.float32)}, global_batch=4
+        )
+
+
 def test_ray_sharded_render_matches(mesh):
     """shard_rays=True produces the same image as the unsharded render."""
     from nerf_from_image_tpu.engine.render import RenderConfig, render

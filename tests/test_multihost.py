@@ -116,6 +116,23 @@ def test_two_process_gan_step_matches_single_process():
     )
 
 
+def test_partial_explicit_topology_raises(monkeypatch):
+    """COORDINATOR_ADDRESS with an incomplete NFI_* topology must raise
+    instead of falling through to the error-swallowing zero-config probe
+    (which would leave each host an unsynced single-process replica)."""
+    from nerf_from_image_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "localhost:1")
+    monkeypatch.setenv("NFI_NUM_PROCESSES", "2")
+    monkeypatch.delenv("NFI_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="NFI_PROCESS_ID"):
+        mesh_mod.maybe_init_multihost()
+    monkeypatch.delenv("NFI_NUM_PROCESSES")
+    monkeypatch.setenv("NFI_PROCESS_ID", "0")
+    with pytest.raises(ValueError, match="NFI_NUM_PROCESSES"):
+        mesh_mod.maybe_init_multihost()
+
+
 def test_two_process_train_driver_end_to_end(tmp_path):
     """Driver-level multi-host smoke: train.py itself (synthetic dataset,
     2 processes x 2 CPU devices, 4 steps) — exercises maybe_init_multihost

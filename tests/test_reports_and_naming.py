@@ -186,6 +186,25 @@ class TestReportRoundtrip:
         assert reloaded.metric_notes == stamped.metric_notes
         assert "RANDOM-FEATURE" in reloaded.summary()
 
+        # Resume-time note reconciliation covers all four directions
+        # (advisor round-4 finding: the metric-grade -> noted direction
+        # must carry a mixed marker too).
+        rf = "(RANDOM-FEATURE — not metric grade)"
+        r = InversionReport([0], {"lpips": rf})
+        r.merge_notes_on_resume({"lpips": rf})  # unchanged env
+        assert r.metric_notes["lpips"] == rf
+        r = InversionReport([0], {"lpips": rf})
+        r.merge_notes_on_resume({})  # noted rows, now metric grade
+        assert r.metric_notes["lpips"] == f"{rf} (mixed: resumed at metric grade)"
+        r = InversionReport([0], {})
+        r.merge_notes_on_resume({"lpips": rf})  # metric-grade rows, now noted
+        assert r.metric_notes["lpips"] == (
+            f"{rf} (mixed: metric-grade rows before resume)"
+        )
+        r = InversionReport([0], {"lpips": "(note A)"})
+        r.merge_notes_on_resume({"lpips": "(note B)"})  # conflicting notes
+        assert r.metric_notes["lpips"] == "(note A) + resumed with (note B)"
+
         # The re-aggregator CLI prints per-checkpoint means from the npz.
         res = subprocess.run(
             [sys.executable,
