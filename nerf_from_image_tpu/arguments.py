@@ -128,14 +128,15 @@ def parse_args(argv=None):
     parser.add_argument("--plane_splat", type=bool_flag, default=False,
                         help="Route triplane-sampling backwards through the"
                         " Pallas ray-coherent windowed-splat kernel"
-                        " (ops/pallas/splat.py). First-order paths only"
-                        " (inversion/eval renders — the render backward"
-                        " dominates those); training G-steps keep the"
-                        " XLA grid-sample path because the eikonal/R1"
-                        " regularizers need double-backward, the same"
-                        " split the reference makes with"
-                        " requires_double_backward"
-                        " (models/generator.py:306-311). Fastest with"
+                        " (ops/pallas/splat.py). Applies to every"
+                        " first-order render backward: inversion/eval"
+                        " renders AND the training G-step's main render"
+                        " (the eikonal/TV/entropy regularizers and R1"
+                        " keep the double-backward-capable grid-sample"
+                        " route on their own sample sets, the same split"
+                        " the reference makes with"
+                        " requires_double_backward,"
+                        " models/generator.py:306-311). Fastest with"
                         " --query_chunk 0 (unchunked) when HBM allows;"
                         " with chunking the splat applies per ray-"
                         "coherent chunk under rematerialization.")

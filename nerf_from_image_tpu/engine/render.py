@@ -64,10 +64,14 @@ class RenderConfig:
     # Fused-splat backward for the triplane sampling (the dominant
     # backward cost): packed-gather forward + ray-coherent Pallas windowed
     # splat instead of XLA scatter-add (ops/pallas/splat.py). First-order
-    # only — leave False for renders that are double-differentiated
-    # (GAN path-length regularization). Applies when the ray grid divides
-    # splat_block — unchunked, or chunked with whole-image-row chunks
-    # (each chunk is then itself a ray-coherent tile).
+    # only — leave False for renders that are double-differentiated.
+    # Every production render qualifies: inversion/eval, and the training
+    # G-step's main render (path_length differentiates only the synthesis
+    # map and the volume regularizers decode their own samples through
+    # the grid-sample branch — tests/test_splat.py g_step equivalence).
+    # Applies when the ray grid divides splat_block — unchunked, or
+    # chunked with whole-image-row chunks (each chunk is then itself a
+    # ray-coherent tile).
     plane_splat: bool = False
     splat_block: Tuple[int, int, int] = (16, 16, 4)
     # (128, 128) keeps BOTH passes on the kernel's fast branch: the coarse

@@ -64,6 +64,19 @@ re-gather trade the same work. The shipped (128,128)+rematpct=63
 config is therefore at a plateau whose next lever is structural
 (fusing the forward gathers' consumer chain), not tunable.
 
+Round-5 driver-path measurements: 30-step inversion at B=4
+(scripts/profile_invert.py) — 10.195 s/img strict-f32, 6.108 bf16,
+5.210 bf16+splat unchunked (the bench compiler options measure 5.395
+on the inversion program — slightly WORSE; they are not used there).
+Training g_step with the splat (scripts/profile_train.py, B=4):
+plain splat OOMs; with the remat budget it fits (8.23 GiB at 63% /
+9.02 GiB at 75%) but measures 875/865 ms vs the 840 ms chunked-bf16
+baseline — NEUTRAL: the remat re-execution required to fit the
+unchunked-splat G-step in HBM consumes the splat's saving. The
+G-step wiring is correct (first-order: path_length differentiates
+only the synthesis map, regularizers decode their own samples via
+grid-sample; equivalence-tested) and stays opt-in.
+
 Post-splat roofline at the shipped 333 ms step: the 6 mandatory per-pass
 row gathers (3 planes x coarse+fine x 4.19M rows) floor the step at
 ~97 ms at the 260 Mrows/s VMEM gather wall; the splat windows add

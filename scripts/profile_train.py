@@ -5,7 +5,20 @@ The reference's headline training throughput is im/s at batch 32 across
 jit-compiled g_step/d_step at the reference render config, in both the
 strict-f32 and bf16-plane modes.
 
-Run: python scripts/profile_train.py [batch_size]
+Run: python scripts/profile_train.py [batch_size] [config ...]
+
+With config names (f32 / bf16 / bf16+noremat / bf16+splat /
+bf16+splat+copts) only those rows run — use one config per process when
+probing memory-heavy configurations: an OOM on this worker kills the
+process rather than raising.
+
+bf16+splat routes the G-step's MAIN render backward through the Pallas
+windowed splat. This is legal first-order-only territory: path_length
+differentiates only the synthesis map (planes w.r.t. ws —
+engine/regularizers.py:28-55, reference models/generator.py:484-499) and
+the eikonal/TV/entropy regularizers query their own stratified volume
+samples through the double-backward-capable grid-sample route, so no
+grad-of-grad ever crosses the splat's custom_vjp.
 """
 
 import sys
@@ -84,11 +97,37 @@ def main():
     batch = {"pose": pose, "focal": focal}
     real_batch = dict(batch, images=images)
 
-    for name, kw in (
-        ("f32", {}),
-        ("bf16", {"plane_dtype": "bfloat16"}),
-        ("bf16+noremat", {"plane_dtype": "bfloat16", "query_chunk": None}),
-    ):
+    rematpct = "63"
+    for a in sys.argv[2:]:
+        if a.startswith("rematpct="):
+            rematpct = a.split("=", 1)[1]
+    bench_copts = {
+        "xla_jf_rematerialization_percent_shared_memory_limit": rematpct,
+        "xla_tpu_scoped_vmem_limit_kib": "90112",
+    }
+    all_configs = (
+        ("f32", {}, None),
+        ("bf16", {"plane_dtype": "bfloat16"}, None),
+        ("bf16+noremat", {"plane_dtype": "bfloat16", "query_chunk": None},
+         None),
+        ("bf16+splat",
+         {"plane_dtype": "bfloat16", "query_chunk": None,
+          "plane_splat": True, "splat_block": (16, 16, 4),
+          "splat_window": (128, 128)},
+         None),
+        ("bf16+splat+copts",
+         {"plane_dtype": "bfloat16", "query_chunk": None,
+          "plane_splat": True, "splat_block": (16, 16, 4),
+          "splat_window": (128, 128)},
+         bench_copts),
+    )
+    selected = sys.argv[2:]
+    configs = (
+        [c for c in all_configs if c[0] in selected]
+        if selected
+        else [c for c in all_configs if "splat" not in c[0]]
+    )
+    for name, kw, copts in configs:
         render_config = dataclasses.replace(base_render, **kw)
         g_step = jax.jit(
             lambda s, b, k: gan.g_step(
@@ -100,6 +139,20 @@ def main():
                 config, render_config, model, disc, s, rb, fb, k
             )
         )
+        if copts:
+            gc_ = g_step.lower(state, batch, jax.random.key(1)).compile(
+                compiler_options=copts
+            )
+            mem = gc_.memory_analysis()
+            print(
+                f"[{name}] g_step temps "
+                f"{getattr(mem, 'temp_size_in_bytes', 0)/2**30:.2f} GiB",
+                flush=True,
+            )
+            g_step = gc_
+            d_step = d_step.lower(
+                state, real_batch, batch, jax.random.key(2)
+            ).compile(compiler_options=copts)
         try:
             tg = timeit(g_step, state, batch, jax.random.key(1), iters=4,
                         warmup=1)

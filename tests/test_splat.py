@@ -194,6 +194,56 @@ def test_render_with_plane_splat_matches_default_path(scene_range):
     _assert_splat_matches_ref(cfg, ws_key=1)
 
 
+def test_g_step_with_plane_splat_matches_default_path():
+    """Training G-step with the splat backward on its MAIN render.
+
+    Legal first-order territory: path_length differentiates only the
+    synthesis map (planes w.r.t. ws — engine/regularizers.py:28-55,
+    reference models/generator.py:484-499), and eikonal/TV/entropy decode
+    their own stratified volume samples through the double-backward
+    grid-sample branch (raw planes — models/generator.py:253-262), so no
+    grad-of-grad ever crosses the splat's custom_vjp. Losses and updated
+    parameters must match the default scatter path (f32 strict mode,
+    knife-edge-free AABB — see the _SR_INNER note above).
+    """
+    import dataclasses
+
+    from nerf_from_image_tpu.engine import gan
+    from tests.test_gan_engine import random_batch, tiny_configs, tiny_models
+
+    model, disc = tiny_models()
+    config, rc = tiny_configs()
+    rc = dataclasses.replace(
+        rc,
+        scene_range=rc.scene_range * (1.0 - 1e-4),
+        query_chunk=None,
+    )
+    rc_splat = dataclasses.replace(
+        rc, plane_splat=True, splat_block=(8, 8, 4), splat_window=(16, 16)
+    )
+    state = gan.init_gan_state(config, model, disc, jax.random.key(0), rc)
+    batch = random_batch(np.random.default_rng(0), config.batch_size)
+    key = jax.random.key(1)
+
+    step = lambda cfg: jax.jit(
+        lambda s, b, k: gan.g_step(config, cfg, model, disc, s, b, k)
+    )(state, batch, key)
+    state_ref, m_ref = step(rc)
+    state_spl, m_spl = step(rc_splat)
+
+    for k in sorted(m_ref):
+        np.testing.assert_allclose(
+            float(m_spl[k]), float(m_ref[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"metric {k}",
+        )
+    for a, b in zip(
+        jax.tree.leaves(state_spl.params_g), jax.tree.leaves(state_ref.params_g)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
 @pytest.mark.parametrize("scene_range", [_SR_INNER, 1.4])
 def test_render_with_chunked_plane_splat_matches_default_path(scene_range):
     """plane_splat under query chunking: a chunk that is a whole number of

@@ -65,3 +65,44 @@ def test_use_encoder_emits_recon_and_testset_scalars(monkeypatch, tmp_path):
         assert np.isfinite(recorded[tag]), (tag, recorded[tag])
     # No Inception weights in this environment -> no FID scalars.
     assert "fid" not in recorded
+
+
+def test_train_driver_plane_splat_engages(monkeypatch, tmp_path):
+    """`train.py --plane_splat true --query_chunk 0` routes the G-step's
+    main render backward through the Pallas splat op (interpret mode on
+    CPU) — verifies the driver wiring, incl. the 0 -> unchunked
+    query_chunk normalization the splat_spec check requires."""
+    from nerf_from_image_tpu.ops.pallas import splat as splat_mod
+
+    calls = []
+    orig = splat_mod.triplane_sample_mean
+
+    def spy(*a, **k):
+        calls.append(a[2])  # img_shape
+        return orig(*a, **k)
+
+    monkeypatch.setattr(splat_mod, "triplane_sample_mean", spy)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "train.py",
+            "--dataset", "synthetic",
+            "--chips", "2",
+            "--batch_size", "2",
+            "--resolution", "16",
+            "--iterations", "2",
+            "--display_every", "100",
+            "--max_images", "4",
+            "--root_path", str(tmp_path),
+            "--sdf_pretrain_steps", "1",
+            "--fine_sampling", "",
+            "--plane_splat", "true",
+            "--query_chunk", "0",
+        ],
+    )
+    import train
+
+    train.main()
+    assert calls, "plane_splat never reached the splat op"
+    assert (16, 16, 128) in calls, calls

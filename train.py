@@ -192,11 +192,18 @@ def main():
         scene_range=config_ds.scene_range,
         white_background=config_ds.white_background,
         use_viewdir=args.use_viewdir,
-        query_chunk=args.query_chunk,
+        query_chunk=args.query_chunk or None,  # 0 = unchunked
         plane_dtype=None
         if args.plane_dtype == "float32"
         else args.plane_dtype,
         merge_mode=args.merge_mode,
+        # Legal on the G-step's MAIN render: path_length differentiates
+        # only the synthesis map and the volume regularizers decode their
+        # own stratified samples through the double-backward grid-sample
+        # branch, so no grad-of-grad crosses the splat's custom_vjp
+        # (verified: tests/test_splat.py::
+        # test_g_step_with_plane_splat_matches_default_path).
+        plane_splat=args.plane_splat,
     )
 
     key = jax.random.key(1234)
