@@ -90,9 +90,18 @@ def main():
     stem = os.path.basename(data_path)[:-4]
     preds, ins_masks = load_instance_masks(seg_dir, stem)
 
+    def is_car(i):
+        # Two Mask-RCNN dump schemas: the reference's string labels
+        # ('car' in preds['labels'][ii], demo_nusc.py:680 /
+        # datasets.py:1003) and COCO integer ids ('classes', id 2 = car
+        # — the schema of this repo's pred_instance fixtures).
+        if "labels" in preds:
+            return "car" in str(preds["labels"][i])
+        return int(preds["classes"][i]) == 2
+
     crops = []
     for i in range(len(ins_masks)):
-        if "car" not in str(preds["labels"][i]):
+        if not is_car(i):
             continue
         mask_occ = get_mask_occ_from_ins(ins_masks, i)
         sample = crop_for_inversion(
@@ -167,6 +176,7 @@ def main():
         plane_dtype=None
         if args.plane_dtype == "float32"
         else args.plane_dtype,
+        plane_splat=args.plane_splat,
         merge_mode=args.merge_mode,
     )
     # Demo panels render with SDF normals like the reference

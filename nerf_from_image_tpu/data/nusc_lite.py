@@ -99,6 +99,22 @@ class NuScenesLite:
                 rows = json.load(f)
             self._tables[name] = rows
             self._index[name] = {r["token"]: r for r in rows}
+        # Devkit shortcut parity (nuscenes.py __make_reverse_index__):
+        # sample_data records gain 'channel' / 'sensor_modality' derived
+        # through the calibrated_sensor -> sensor join. demo_driving's
+        # frame lookup and instance-mask directory selection depend on it.
+        for sd in self._tables["sample_data"]:
+            cs = self._index["calibrated_sensor"].get(
+                sd.get("calibrated_sensor_token", "")
+            )
+            sensor = (
+                self._index["sensor"].get(cs.get("sensor_token", ""))
+                if cs
+                else None
+            )
+            if sensor is not None:
+                sd.setdefault("channel", sensor["channel"])
+                sd.setdefault("sensor_modality", sensor.get("modality"))
 
     @property
     def sample_data(self):

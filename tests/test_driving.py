@@ -323,6 +323,44 @@ def _build_nusc_fixture(root):
     return index_path
 
 
+class TestDemoDrivingDriver:
+    """End-to-end demo_driving.main() on the synthetic nuScenes fixture:
+    named-frame lookup through the devkit 'channel' shortcut (derived via
+    the calibrated_sensor -> sensor join), Mask-RCNN instance filtering
+    (COCO integer 'classes' schema), per-car crop + PnP + inversion, and
+    the side-by-side composite export (reference demo_nusc.py:666-700)."""
+
+    def test_end_to_end(self, tmp_path, monkeypatch):
+        import sys
+
+        import demo_driving
+        import nerf_from_image_tpu.models.generator as gen_mod
+
+        root = str(tmp_path / "nusc")
+        os.makedirs(root)
+        _build_nusc_fixture(root)
+
+        orig_gen = gen_mod.Generator
+
+        def tiny_generator(**kw):
+            kw.update(w_dim=64, plane_channels=8, synthesis_resolution=16,
+                      channel_base=512, channel_max=64)
+            return orig_gen(**kw)
+
+        monkeypatch.setattr(gen_mod, "Generator", tiny_generator)
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "demo_driving.py", "--dataset", "nusc",
+            "--nusc_data_dir", root,
+            "--inv_manual_input_path", "view1.png",
+            "--resolution", "16", "--inv_steps", "2",
+            "--latent_dim", "64", "--query_chunk", "0",
+        ])
+        demo_driving.main()
+        out = list((tmp_path / "outputs").rglob("*.png"))
+        assert out, "demo composite not written"
+
+
 class TestDrivingEvalPipeline:
     """End-to-end eval_driving.main() on the synthetic nuScenes fixture:
     reader -> box/LiDAR math -> crop -> inversion -> metrics (incl.

@@ -194,6 +194,37 @@ def test_render_with_plane_splat_matches_default_path(scene_range):
     _assert_splat_matches_ref(cfg, ws_key=1)
 
 
+def test_normals_render_through_plane_splat_matches():
+    """Demo/eval panels render SDF normals (an inner jax.vjp through the
+    field decode — generator.py sample_field); with plane_splat the vjp
+    crosses the splat custom_vjp exactly once, which it supports. The
+    normal maps must match the non-splat path (demo_driving/eval_driving
+    pass --plane_splat into their panel renders)."""
+    import dataclasses
+
+    from nerf_from_image_tpu.engine.render import RenderConfig, render
+
+    model, loss, pose = _make_render_case()
+    variables = model.init(jax.random.key(0), method="init_all")
+    focal = jnp.full((1,), 1.2)
+    ws = jax.random.normal(jax.random.key(11), (1, model.num_ws, 64)) * 0.1
+    cfg = RenderConfig(
+        resolution=16, depth_samples_per_ray=8, fine_sampling=True,
+        scene_range=_SR_INNER, query_chunk=None, plane_splat=True,
+        splat_block=(8, 8, 4), splat_window=(16, 16), compute_normals=True,
+    )
+    out, _ = jax.jit(lambda v: render(cfg, model, v, pose, focal, ws))(
+        variables
+    )
+    cfg0 = dataclasses.replace(cfg, plane_splat=False)
+    out0, _ = jax.jit(lambda v: render(cfg0, model, v, pose, focal, ws))(
+        variables
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normals), np.asarray(out0.normals), atol=1e-4
+    )
+
+
 def test_g_step_with_plane_splat_matches_default_path():
     """Training G-step with the splat backward on its MAIN render.
 
